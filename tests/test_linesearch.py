@@ -1,0 +1,129 @@
+"""Per-strategy parity: the masked lax.while_loop line searches must return
+the same alpha as the straight-line NumPy oracle (the reference's exact
+control flow) for identical inputs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_lbfgs import oracle
+from tpu_lbfgs.config import LBFGSConfig
+from tpu_lbfgs.linesearch.strategies import get_line_search
+from tpu_lbfgs.problems import get_problem
+import np_problems
+
+STRATEGIES = [
+    "backtracking",
+    "backtracking_wolfe",
+    "backtracking_wolfe_bisect",
+    "armijo_interpolation",
+    "wolfe_interpolation",
+]
+
+
+def _cases(seed=0, n=12, dim=16):
+    """Line-search inputs: random points on rosenbrock with descent directions
+    of varying quality (steepest descent, noisy, badly scaled)."""
+    rng = np.random.default_rng(seed)
+    f_np, g_np = np_problems.PROBLEMS["rosenbrock"]
+    cases = []
+    for i in range(n):
+        x = rng.uniform(-2, 2, dim)
+        g = g_np(x)
+        if i % 3 == 0:
+            d = -g
+        elif i % 3 == 1:
+            d = -g + 0.1 * rng.normal(size=dim) * np.linalg.norm(g)
+        else:
+            d = -g * rng.uniform(0.001, 5.0)
+        gdd = float(np.dot(g, d))
+        if gdd >= 0:
+            d = -g
+            gdd = float(np.dot(g, d))
+        cases.append((x, d, f_np(x), g, gdd))
+    return cases
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("fidelity", ["reference", "fixed"])
+def test_alpha_parity(strategy, fidelity):
+    cfg = LBFGSConfig(line_search=strategy, fidelity=fidelity, c2=0.9)
+    p = get_problem("rosenbrock")
+    f_np, g_np = np_problems.PROBLEMS["rosenbrock"]
+    ls_jax = get_line_search(strategy)
+    ls_np = oracle.LINE_SEARCHES[strategy]
+
+    def vg(x):
+        return p.f(x), p.grad(x)
+
+    run = jax.jit(lambda x, d, fx, g, gdd: ls_jax(cfg, p.f, vg, x, d, fx, g, gdd))
+
+    for x, d, fx, g, gdd in _cases():
+        a_np = ls_np(cfg, f_np, g_np, x, d, fx, g, gdd)
+        res = run(jnp.asarray(x), jnp.asarray(d), jnp.asarray(fx),
+                  jnp.asarray(g), jnp.asarray(gdd))
+        a_jax = float(res.alpha)
+        assert np.isclose(a_jax, a_np, rtol=1e-9, atol=1e-12), (
+            f"{strategy}/{fidelity}: jax={a_jax} oracle={a_np}")
+
+
+def test_reference_armijo_rule_differs_from_textbook():
+    """The sign-flipped reference rule accepts alpha=1 in cases the textbook
+    rule rejects (fidelity trap 1)."""
+    # f increases slightly along d at alpha=1 but less than c1*alpha*|g.d|:
+    # reference accepts (f_x - f_new >= c1*a*gdd with gdd<0), textbook rejects.
+    f = lambda x: jnp.sum(x * x)
+
+    def vg(x):
+        return f(x), 2 * x
+
+    x = jnp.asarray([2.0])
+    d = jnp.asarray([-3.9999])  # overshoots: f(x+d) slightly above f(x)-eps
+    fx = f(x)
+    g = 2 * x
+    gdd = jnp.vdot(g, d)
+    ref = get_line_search("backtracking")(
+        LBFGSConfig(fidelity="reference"), f, vg, x, d, fx, g, gdd)
+    fixed = get_line_search("backtracking")(
+        LBFGSConfig(fidelity="fixed"), f, vg, x, d, fx, g, gdd)
+    assert float(ref.alpha) == 1.0
+    assert float(fixed.alpha) < 1.0
+
+
+def test_rescue_floor():
+    """Parallel fidelity: underflowed alpha is rescued to 0.5
+    (parallel line_search.cpp:38-41)."""
+    # Objective increasing along d while the (deliberately inconsistent)
+    # directional derivative claims descent -> Armijo never holds -> underflow.
+    f = lambda x: jnp.sum(x)
+
+    def vg(x):
+        return f(x), jnp.ones_like(x)
+
+    x = jnp.asarray([1.0])
+    g = jnp.asarray([-1.0])
+    d = jnp.asarray([1.0])
+    cfg = LBFGSConfig(fidelity="fixed", alpha_rescue_floor=1e-4)
+    res = get_line_search("backtracking")(cfg, f, vg, x, d, f(x), g,
+                                          jnp.vdot(g, d))
+    assert float(res.alpha) == 0.5
+
+
+def test_eval_counts_backtracking():
+    p = get_problem("quadratic")
+
+    def vg(x):
+        return p.f(x), p.grad(x)
+
+    x = jnp.zeros((8,), jnp.float64)
+    g = p.grad(x)
+    d = -g
+    cfg = LBFGSConfig(fidelity="fixed")
+    res = get_line_search("backtracking")(cfg, p.f, vg, x, d, p.f(x), g,
+                                          jnp.vdot(g, d))
+    # alpha=1 overshoots to the mirror point (f unchanged, textbook rejects);
+    # alpha=0.5 lands exactly on the minimum: two trials.
+    assert float(res.alpha) == 0.5
+    assert int(res.n_fev) == 2
+    assert int(res.n_gev) == 0

@@ -1,0 +1,53 @@
+"""tpu-lbfgs: a TPU-native L-BFGS optimization framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the CUDA/C++
+reference ``ndzajic1/cuda-lbfgs`` (see SURVEY.md), redesigned TPU-first: the
+whole solve runs inside one jitted while_loop (zero host round-trips), batches
+of independent instances vmap per chip, and the parameter vector & curvature
+history shard across device meshes with psum reductions.
+"""
+
+from .config import (
+    LBFGSConfig,
+    REFERENCE_PARALLEL,
+    REFERENCE_SEQUENTIAL,
+)
+from .core.solver import (
+    init_state,
+    iterate,
+    make_value_and_grad,
+    minimize,
+    solve_from_state,
+)
+from .problems.suite import (
+    Problem,
+    get_problem,
+    problem_names,
+    reference_x0,
+    register_problem,
+)
+from .types import LBFGSState, LineSearchResult, SolveResult, Status, Trace
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LBFGSConfig",
+    "REFERENCE_PARALLEL",
+    "REFERENCE_SEQUENTIAL",
+    "LBFGSState",
+    "LineSearchResult",
+    "SolveResult",
+    "Status",
+    "Trace",
+    "Problem",
+    "get_problem",
+    "problem_names",
+    "reference_x0",
+    "register_problem",
+    "init_state",
+    "iterate",
+    "minimize",
+    "make_value_and_grad",
+    "solve_from_state",
+    "__version__",
+]

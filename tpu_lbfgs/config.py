@@ -1,0 +1,151 @@
+"""Solver configuration.
+
+The reference configures everything at compile time via constexpr headers
+(`sequential-implementation/config.h:4-17`, `parallel-implementation/constants.h:4-21`)
+plus hardcoded driver parameters. Here a single hashable frozen dataclass carries the
+full configuration so it can be a static argument to ``jax.jit`` — changing a field
+recompiles exactly the affected program, nothing else.
+
+Reference constants mirrored (with their CPU/GPU discrepancies made explicit):
+  C1 = 1e-4                     (both config.h:5 and constants.h:5)
+  C2 = 0.9 sequential (config.h:6) vs 0.7 parallel (constants.h:6); the parallel
+       backtracking-Wolfe bisection re-hardcodes 0.9 locally
+       (parallel-implementation/line_search.cpp:54)
+  INITIAL_STEP_SIZE = 1.0, BACKTRACKING_ALPHA = 0.5, BACKTRACKING_TOL = 1e-8
+  WOLFE_INTERP_MIN = 1e-10, WOLFE_INTERP_MAX = 10.0
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Reference constants (see module docstring for provenance).
+C1_DEFAULT = 1e-4
+C2_SEQUENTIAL = 0.9
+C2_PARALLEL = 0.7
+INITIAL_STEP_SIZE = 1.0
+BACKTRACKING_SHRINK = 0.5
+BACKTRACKING_TOL = 1e-8
+WOLFE_INTERP_MIN = 1e-10
+WOLFE_INTERP_MAX = 10.0
+
+LINE_SEARCH_METHODS = (
+    "backtracking",
+    "backtracking_wolfe",
+    "backtracking_wolfe_bisect",
+    "armijo_interpolation",
+    "wolfe_interpolation",
+)
+
+DIRECTION_METHODS = ("two_loop", "compact")
+
+# Fidelity modes: "reference" replicates the reference's exact decision rules,
+# including its documented quirks (SURVEY.md §7 "fidelity traps"); "fixed" uses
+# the textbook-correct variants.
+FIDELITY_MODES = ("reference", "fixed")
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSConfig:
+    """Static configuration for the L-BFGS solver.
+
+    Hashable so the whole config can be a `static_argnum` of jit: every distinct
+    config compiles its own specialized XLA program (no dynamic dispatch on-device).
+    """
+
+    # History depth; the reference uses m=10 everywhere (main.cpp:51, L-BFGS.cu:400).
+    m: int = 10
+    max_iters: int = 1000
+    # Convergence tolerance on ||g||_2 (lbfgs.cpp:80-84). Reference drivers use
+    # 1e-8 (CPU, main.cpp:52) and 1e-1 (GPU, L-BFGS-Backtracking.cu:446).
+    tol: float = 1e-5
+
+    # --- line search -----------------------------------------------------------
+    line_search: str = "backtracking"
+    c1: float = C1_DEFAULT
+    c2: float = C2_SEQUENTIAL
+    initial_step: float = INITIAL_STEP_SIZE
+    shrink: float = BACKTRACKING_SHRINK
+    grow: float = 1.1  # backtracking_wolfe step-growth factor (line_search.cpp:46)
+    backtracking_tol: float = BACKTRACKING_TOL
+    interp_min: float = WOLFE_INTERP_MIN
+    interp_max: float = WOLFE_INTERP_MAX
+    # Interpolation / Wolfe searches cap at 20 trials (line_search.cpp:72,143).
+    ls_max_iters: int = 20
+    # The sequential backtracking_wolfe has NO iteration cap in the reference
+    # (line_search.cpp:33-55) and can in principle cycle; a jitted while_loop
+    # needs a bound, so we add a generous safety cap (documented deviation).
+    ls_safety_cap: int = 256
+    # Alpha floor local to the parallel bisection Wolfe search
+    # (parallel-implementation/line_search.cpp:57).
+    bisect_tol: float = 1e-10
+    # Strong-Wolfe interpolation: True uses the guarded safeCubicInterpolate
+    # (parallel line_search.cpp:231-296); False the raw cubic the sequential
+    # implementation uses (sequential line_search.cpp:8-12), which can NaN.
+    safe_cubic: bool = True
+    # "reference" fidelity replicates the sign-flipped Armijo rule
+    # (line_search.cpp:24) and the parallel implementations' alpha floor rescue
+    # (return 0.5 when alpha underflows; parallel line_search.cpp:38-41).
+    fidelity: str = "reference"
+    # Rescue floor used by the parallel implementation's backtracking/interp
+    # searches; None disables (sequential behavior).
+    alpha_rescue_floor: Optional[float] = None
+    alpha_rescue_value: float = 0.5
+
+    # --- direction -------------------------------------------------------------
+    # "two_loop": lax.scan two-loop recursion (reference-parity semantics).
+    # "compact":  Byrd–Nocedal–Schnabel compact representation — the TPU-native
+    #             formulation: two (m,d) matmuls + O(m^2) triangular solves,
+    #             one fused reduction per phase when sharded.
+    direction: str = "two_loop"
+    # When set, the two-loop individually skips pairs with sy <= threshold —
+    # the GPU reference's behavior (L-BFGS.cu:222-223, threshold 1e-10).  When
+    # None, any non-finite rho aborts the whole direction to steepest descent —
+    # the CPU reference's behavior (lbfgs.cpp:102-107).
+    pair_skip_threshold: Optional[float] = None
+    # Curvature threshold for accepting an (s,y) pair. CPU reference: sy > 0
+    # (lbfgs.cpp:182); GPU reference skips pairs with sy <= 1e-10 inside the
+    # two-loop instead (L-BFGS.cu:222-223).
+    curvature_threshold: float = 0.0
+    # The solver bails when the line search returns alpha below this
+    # (lbfgs.cpp:164-168).
+    step_fail_tol: float = 1e-10
+
+    # --- execution -------------------------------------------------------------
+    # Use Pallas fused kernels where available (f32 only); falls back to jnp.
+    use_pallas: bool = False
+    # Record per-iteration trace (f, ||g||, alpha, evals) — uses a bounded scan.
+    record_trace: bool = False
+
+    def __post_init__(self):
+        if self.line_search not in LINE_SEARCH_METHODS:
+            raise ValueError(
+                f"unknown line_search {self.line_search!r}; "
+                f"expected one of {LINE_SEARCH_METHODS}"
+            )
+        if self.direction not in DIRECTION_METHODS:
+            raise ValueError(
+                f"unknown direction {self.direction!r}; "
+                f"expected one of {DIRECTION_METHODS}"
+            )
+        if self.fidelity not in FIDELITY_MODES:
+            raise ValueError(
+                f"unknown fidelity {self.fidelity!r}; expected one of {FIDELITY_MODES}"
+            )
+        if self.m <= 0:
+            raise ValueError("history depth m must be positive")
+
+    def replace(self, **kw) -> "LBFGSConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Config matching the reference's sequential driver (main.cpp:24-58).
+REFERENCE_SEQUENTIAL = LBFGSConfig(
+    m=10, max_iters=15000, tol=1e-8, line_search="backtracking", c2=C2_SEQUENTIAL,
+)
+
+# Config matching the reference's GPU drivers (e.g. L-BFGS-Backtracking.cu:429-457).
+REFERENCE_PARALLEL = LBFGSConfig(
+    m=10, max_iters=50000, tol=1e-1, line_search="backtracking", c2=C2_PARALLEL,
+    alpha_rescue_floor=1e-4,
+)

@@ -1,0 +1,171 @@
+"""Search-direction computation: d = -H_k g via the limited-memory history.
+
+Two interchangeable formulations (algebraically identical for the same
+history; verified against each other in tests/test_direction.py):
+
+``two_loop``
+    The classic two-loop recursion as a ``lax.scan`` over the (m, d) ring
+    buffer, mirroring the reference's semantics: CPU loop
+    (sequential-implementation/lbfgs.cpp:94-143) and the GPU ring-indexed
+    cuBLAS version (parallel-implementation/L-BFGS.cu:216-276).  Guards are
+    reproduced branchlessly: non-finite rho or non-positive/non-finite gamma
+    fall back to steepest descent (lbfgs.cpp:103-107,117-124); per-pair
+    sy <= threshold skip replicates the GPU path (L-BFGS.cu:222-223) when
+    ``cfg.pair_skip_threshold`` is set.
+
+``compact``
+    The Byrd–Nocedal–Schnabel compact representation (Byrd, Nocedal, Schnabel,
+    "Representations of quasi-Newton matrices...", Math. Prog. 63, 1994,
+    Eq. 7.24 in Nocedal & Wright):
+
+        H g = gamma*g + [S, gamma*Y] * W * [S'g; gamma*Y'g]
+        W   = [[R^{-T} (D + gamma*Y'Y) R^{-1},  -R^{-T}],
+               [-R^{-1},                         0      ]]
+
+    which collapses the 2m *sequential* dot+axpy passes of the two-loop into
+    TWO large matmul passes over the history plus O(m^2) work on tiny
+    matrices.  This is the TPU-native formulation: the (2m, d) contraction
+    maps onto the MXU / a single fused reduction, and under d-axis sharding
+    the whole direction costs ONE psum of a (2m, m+1) block instead of the
+    2m+3 sequential scalar reductions per iteration the two-loop needs
+    (SURVEY.md §7 "sharded two-loop" hard part).
+
+Ring-buffer bookkeeping: pair p lives in slot p % m; logical order is
+reconstructed by permuting the small (m,) / (m, m) quantities only — the big
+(m, d) history arrays are never gathered or rolled.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..config import LBFGSConfig
+from ..types import LBFGSState
+
+
+def _ring_logical_slots(n_pairs: Array, m: int) -> Tuple[Array, Array]:
+    """Physical slot of each logical index j (0 = oldest), and validity mask."""
+    hist_len = jnp.minimum(n_pairs, m)
+    j = jnp.arange(m, dtype=n_pairs.dtype)
+    slots = (n_pairs - hist_len + j) % m
+    valid = j < hist_len
+    return slots, valid
+
+
+def _gamma(state: LBFGSState, m: int) -> Array:
+    """Initial Hessian scaling gamma = s'y / y'y of the newest pair
+    (lbfgs.cpp:117-118), from the precomputed per-slot scalars."""
+    newest = (state.n_pairs - 1) % m
+    return state.sy_hist[newest] / state.yy_hist[newest]
+
+
+def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    """d = -H g via lax.scan two-loop over the ring buffer."""
+    m = state.s_hist.shape[0]
+    g = state.g
+    slots, valid = _ring_logical_slots(state.n_pairs, m)
+    sy = state.sy_hist[slots]                      # logical order
+    rho = 1.0 / sy
+
+    if cfg.pair_skip_threshold is not None:
+        # GPU semantics: individually skip low-curvature pairs
+        # (L-BFGS.cu:222-223), never global-fallback on rho.
+        use = valid & (sy > cfg.pair_skip_threshold)
+        bad_rho = jnp.bool_(False)
+    else:
+        # CPU semantics: any non-finite rho among stored pairs aborts to
+        # steepest descent (lbfgs.cpp:102-107).
+        use = valid
+        bad_rho = jnp.any(valid & ~jnp.isfinite(rho))
+
+    # First loop: newest -> oldest.
+    def first(q, idx):
+        slot, r, u = idx
+        s_i = state.s_hist[slot]
+        y_i = state.y_hist[slot]
+        a = jnp.where(u, r * jnp.vdot(s_i, q), 0.0)
+        return q - a * y_i, a
+
+    rev = (slots[::-1], rho[::-1], use[::-1])
+    q, alphas_rev = lax.scan(first, g, rev)
+    alphas = alphas_rev[::-1]
+
+    gamma = _gamma(state, m)
+    bad_gamma = (gamma <= 0) | ~jnp.isfinite(gamma)
+    r_vec = gamma * q
+
+    # Second loop: oldest -> newest.
+    def second(r_acc, idx):
+        slot, r, u, a = idx
+        s_i = state.s_hist[slot]
+        y_i = state.y_hist[slot]
+        b = jnp.where(u, r * jnp.vdot(y_i, r_acc), 0.0)
+        coeff = jnp.where(u, a - b, 0.0)
+        return r_acc + coeff * s_i, None
+
+    r_vec, _ = lax.scan(second, r_vec, (slots, rho, use, alphas))
+
+    fallback = bad_rho | bad_gamma | (state.hist_len == 0)
+    return jnp.where(fallback, -g, -r_vec)
+
+
+def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    """d = -H g via the compact representation (module docstring)."""
+    m = state.s_hist.shape[0]
+    g = state.g
+    dtype = g.dtype
+    slots, valid = _ring_logical_slots(state.n_pairs, m)
+
+    # --- one fused pass over the history: [S; Y] @ [Y^T | g] -----------------
+    # A: (2m, d), B: (d, m+1)  ->  (2m, m+1) giving  [S Y^T | S g]
+    #                                                [Y Y^T | Y g]
+    A = jnp.concatenate([state.s_hist, state.y_hist], axis=0)
+    B = jnp.concatenate([state.y_hist.T, g[:, None]], axis=1)
+    prod = jnp.matmul(A, B, preferred_element_type=dtype)
+    SY_p = prod[:m, :m]            # physical-order S_i . y_j
+    YY_p = prod[m:, :m]
+    Sg_p = prod[:m, m]
+    Yg_p = prod[m:, m]
+
+    # --- permute the small quantities into logical (chronological) order -----
+    SY = SY_p[slots][:, slots]
+    YY = YY_p[slots][:, slots]
+    p1 = jnp.where(valid, Sg_p[slots], 0.0)
+    p2 = jnp.where(valid, Yg_p[slots], 0.0)
+
+    vmask2 = valid[:, None] & valid[None, :]
+    d_diag = jnp.where(valid, jnp.diagonal(SY), 1.0)       # s_i . y_i
+    # R = upper-triangular part of S'Y (including diagonal); identity on
+    # invalid rows/cols keeps the solves well-posed and zeroes their output.
+    eye = jnp.eye(m, dtype=dtype)
+    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.where(valid, 0.0, 1.0) * eye
+    YYm = jnp.where(vmask2, YY, 0.0)
+
+    gamma = _gamma(state, m)
+
+    solve = jax.scipy.linalg.solve_triangular
+    u = solve(R, p1, lower=False)                           # R^{-1} S'g
+    t = d_diag * u + gamma * (YYm @ u) - gamma * p2         # (D + gamma Y'Y) u - gamma Y'g
+    v = solve(R.T, t, lower=True)                           # R^{-T} t
+
+    # Scatter coefficients back to physical slot order; invalid entries are 0.
+    v_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, v, 0.0))
+    u_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, u, 0.0))
+
+    # --- second pass over the history: r = gamma*g + S'v - gamma * Y'u -------
+    r_vec = gamma * g + v_phys @ state.s_hist - gamma * (u_phys @ state.y_hist)
+
+    bad_gamma = (gamma <= 0) | ~jnp.isfinite(gamma)
+    bad_rho = jnp.any(valid & ~jnp.isfinite(1.0 / jnp.where(valid, jnp.diagonal(SY), 1.0)))
+    fallback = (bad_rho | bad_gamma | (state.hist_len == 0)
+                | ~jnp.all(jnp.isfinite(r_vec)))
+    return jnp.where(fallback, -g, -r_vec)
+
+
+def compute_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    if cfg.direction == "compact":
+        return compact_direction(cfg, state)
+    return two_loop_direction(cfg, state)

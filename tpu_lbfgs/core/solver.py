@@ -1,0 +1,214 @@
+"""The L-BFGS solver loop, fully on-device.
+
+Reference counterpart: the CPU loop (sequential-implementation/lbfgs.cpp:72-199)
+and the GPU loops (e.g. parallel-implementation/L-BFGS.cu:195-357).  The
+reference crosses the host<->device boundary at least four times per iteration
+plus once per line-search trial (SURVEY.md §3.2); here the ENTIRE solve —
+direction, line search, objective/gradient evaluation, history update,
+convergence check — is one jitted ``lax.while_loop``, so the host is touched
+exactly twice per solve (dispatch + result fetch).
+
+Iteration semantics mirrored from lbfgs.cpp:
+  1. converge when ||g|| < tol                         (:80-84)
+  2. d = -H g via two-loop (guards -> -g)              (:86-144)
+  3. descent-direction safeguard: g.d >= 0 -> d = -g   (:147-153)
+  4. alpha = line_search(x, d)                         (:156)
+  5. x_new, f_new; alpha < 1e-10 -> bail with old x    (:159-168)
+  6. g_new; store (s, y) only when s.y > 0, ring-capped at m  (:171-195)
+
+Design notes (TPU-first):
+  - State is a fixed-shape pytree (types.LBFGSState); the step function is a
+    pure ``state -> state`` map, so ``jax.vmap`` batches thousands of
+    independent instances per chip (done lanes freeze automatically under
+    vmapped while_loop) and d-axis sharding partitions huge instances with
+    XLA inserting the psums for every dot product.
+  - s.y and y.y are computed once, fused with the pair update, and cached in
+    the state (sy_hist/yy_hist) — the reference recomputes them inside the
+    two-loop every iteration (L-BFGS.cu:219-220,237-244).
+  - ||g_new|| is computed fused with the gradient update so the while-loop
+    condition reads a cached scalar instead of re-streaming g.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..config import LBFGSConfig
+from ..linesearch.strategies import get_line_search
+from ..types import LBFGSState, SolveResult, Status, Trace
+from .direction import compute_direction
+
+ObjFn = Callable[[Array], Array]
+ValGradFn = Callable[[Array], Tuple[Array, Array]]
+
+
+def init_state(vg: ValGradFn, x0: Array, m: int) -> LBFGSState:
+    """Build the initial solver state; evaluates f and grad once at x0
+    (lbfgs.cpp:29-30)."""
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    d = x0.shape[-1]
+    f0, g0 = vg(x0)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    return LBFGSState(
+        x=x0,
+        f=f0,
+        g=g0,
+        g_norm=jnp.sqrt(jnp.vdot(g0, g0)),
+        s_hist=jnp.zeros((m, d), dtype),
+        y_hist=jnp.zeros((m, d), dtype),
+        sy_hist=jnp.ones((m,), dtype),
+        yy_hist=jnp.ones((m,), dtype),
+        n_pairs=i32(0),
+        k=i32(0),
+        status=i32(Status.RUNNING),
+        alpha=jnp.asarray(0.0, dtype),
+        n_fev=i32(1),
+        n_gev=i32(1),
+    )
+
+
+def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
+            state: LBFGSState) -> LBFGSState:
+    """One unconditional L-BFGS iteration (assumes status == RUNNING)."""
+    m = state.s_hist.shape[0]
+    x, g = state.x, state.g
+
+    # --- search direction with descent safeguard (lbfgs.cpp:147-153) ---------
+    d = compute_direction(cfg, state)
+    g_dot_d = jnp.vdot(g, d)
+    not_descent = g_dot_d >= 0
+    d = jnp.where(not_descent, -g, d)
+    g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)
+
+    # --- line search ----------------------------------------------------------
+    line_search = get_line_search(cfg.line_search)
+    ls = line_search(cfg, f, vg, x, d, state.f, g, g_dot_d)
+    alpha = ls.alpha
+
+    # --- trial point & failure bail (lbfgs.cpp:159-168) ----------------------
+    x_new = x + alpha * d
+    f_new, g_new = vg(x_new)
+    failed = alpha < cfg.step_fail_tol
+
+    # --- curvature pair, fused scalars (lbfgs.cpp:174-181) -------------------
+    s = x_new - x
+    y = g_new - g
+    sy = jnp.vdot(s, y)
+    yy = jnp.vdot(y, y)
+    store = ~failed & (sy > cfg.curvature_threshold)
+
+    slot = (state.n_pairs % m).astype(jnp.int32)
+    # Row-masked ring update: only slot's row moves, and only when storing.
+    s_row = jnp.where(store, s, state.s_hist[slot])
+    y_row = jnp.where(store, y, state.y_hist[slot])
+    s_hist = state.s_hist.at[slot].set(s_row)
+    y_hist = state.y_hist.at[slot].set(y_row)
+    sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
+    yy_hist = state.yy_hist.at[slot].set(jnp.where(store, yy, state.yy_hist[slot]))
+
+    # --- advance (freeze x/g/f on line-search failure: the reference returns
+    # the pre-step iterate, lbfgs.cpp:167) ------------------------------------
+    g_norm_new = jnp.sqrt(jnp.vdot(g_new, g_new))
+    return LBFGSState(
+        x=jnp.where(failed, x, x_new),
+        f=jnp.where(failed, state.f, f_new),
+        g=jnp.where(failed, g, g_new),
+        g_norm=jnp.where(failed, state.g_norm, g_norm_new),
+        s_hist=s_hist,
+        y_hist=y_hist,
+        sy_hist=sy_hist,
+        yy_hist=yy_hist,
+        n_pairs=state.n_pairs + store.astype(jnp.int32),
+        k=state.k + 1,
+        status=jnp.where(failed, Status.LINE_SEARCH_FAILED,
+                         Status.RUNNING).astype(jnp.int32),
+        alpha=alpha,
+        # The reference evaluates f once more after the search (lbfgs.cpp:161)
+        # and grad once (lbfgs.cpp:171); our fused vg counts one of each.
+        n_fev=state.n_fev + ls.n_fev + 1,
+        n_gev=state.n_gev + ls.n_gev + 1,
+    )
+
+
+def _finalize_status(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    return jnp.where(
+        state.status != Status.RUNNING, state.status,
+        jnp.where(state.g_norm < cfg.tol, Status.CONVERGED,
+                  Status.MAX_ITERS)).astype(jnp.int32)
+
+
+def _running(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    return ((state.status == Status.RUNNING)
+            & (state.g_norm >= cfg.tol)
+            & (state.k < cfg.max_iters))
+
+
+def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
+                     state: LBFGSState) -> LBFGSState:
+    """Run the while_loop from an arbitrary state (also used for resume from
+    checkpoint).  Returns the terminal state with status finalized."""
+    if cfg.record_trace:
+        return _solve_traced(cfg, f, vg, state)[0]
+    out = lax.while_loop(partial(_running, cfg), partial(iterate, cfg, f, vg),
+                         state)
+    return out._replace(status=_finalize_status(cfg, out))
+
+
+def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
+                  state: LBFGSState) -> Tuple[LBFGSState, Trace]:
+    """Bounded lax.scan variant that records per-iteration metrics — the
+    device-side replacement for the reference's per-iteration host logging
+    (lbfgs.cpp:76-78), which forces a sync every step."""
+
+    def body(s: LBFGSState, _):
+        s_next = lax.cond(_running(cfg, s), partial(iterate, cfg, f, vg),
+                          lambda t: t, s)
+        emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev, s_next.n_gev)
+        return s_next, emit
+
+    out, (fs, gns, alphas, nfs, ngs) = lax.scan(body, state, None,
+                                                length=cfg.max_iters)
+    out = out._replace(status=_finalize_status(cfg, out))
+    return out, Trace(f=fs, g_norm=gns, alpha=alphas, n_fev=nfs, n_gev=ngs)
+
+
+def _state_to_result(state: LBFGSState, trace: Optional[Trace]) -> SolveResult:
+    return SolveResult(
+        x=state.x, f=state.f, g_norm=state.g_norm, iterations=state.k,
+        status=state.status, n_fev=state.n_fev, n_gev=state.n_gev, trace=trace)
+
+
+def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
+    """Resolve the objective interface: analytic gradient if provided (the
+    reference ships analytic grads, functions.cpp:16-49), else jax.grad —
+    which the reference cannot do at all."""
+    if value_and_grad is not None:
+        return value_and_grad
+    if grad is not None:
+        return lambda x: (f(x), grad(x))
+    return jax.value_and_grad(f)
+
+
+def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
+             grad=None, value_and_grad=None) -> SolveResult:
+    """Jit-compiled single-instance solve.  The public entry point matching
+    the reference's ``LBFGS(f, grad, x0, line_search_method, ...)``
+    (lbfgs.cpp:17-25) — but returning a structured result instead of printing.
+    """
+    vg = make_value_and_grad(f, grad, value_and_grad)
+
+    @partial(jax.jit, static_argnums=())
+    def run(x0):
+        state = init_state(vg, x0, cfg.m)
+        if cfg.record_trace:
+            out, trace = _solve_traced(cfg, f, vg, state)
+            return _state_to_result(out, trace)
+        out = solve_from_state(cfg, f, vg, state)
+        return _state_to_result(out, None)
+
+    return run(jnp.asarray(x0))

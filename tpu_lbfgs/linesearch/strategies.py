@@ -1,0 +1,336 @@
+"""The four line-search strategies as masked ``lax.while_loop``s.
+
+Reference counterparts (all data-dependent host loops there; SURVEY.md §2
+items 2, 13-17):
+
+  backtracking             sequential-implementation/line_search.cpp:19-30,
+                           parallel-implementation/line_search.cpp:25-43,
+                           GPU-inlined L-BFGS-Backtracking.cu:295-341
+  backtracking_wolfe       sequential line_search.cpp:33-55 (shrink 0.5 / grow 1.1)
+  backtracking_wolfe_bisect parallel line_search.cpp:45-154 and
+                           L-BFGS-Backtracking_Wolfe.cu:266-380 (bisection on
+                           [alpha_lo, alpha_hi]; the C++ memoization cache only
+                           avoids recomputation and never changes the alpha
+                           sequence, so it is intentionally not replicated)
+  armijo_interpolation     line_search.cpp:57-121 / parallel :156-228
+  wolfe_interpolation      line_search.cpp:125-189 / parallel :298-369 and the
+                           GPU-inlined zoom in L-BFGS-Wolfe.cu:260-349
+
+TPU-native restructuring: every trial evaluates f (and grad, for Wolfe
+variants) *on device* inside the jitted loop — the reference round-trips
+x_trial to the host for every single evaluation (L-BFGS-Backtracking.cu:322-327).
+Early `continue`/`return` become carry flags; accepted lanes freeze their carry
+so the same code vmaps over instance batches and shards over the d axis
+unchanged.
+
+Fidelity notes (SURVEY.md §7 fidelity traps, replicated under
+``cfg.fidelity == "reference"``):
+  1. The sequential backtracking Armijo test is sign-flipped vs textbook
+     (line_search.cpp:24): it shrinks while ``f(x) - f(x+ad) < c1*a*g.d`` —
+     since g.d < 0 this *accepts* small increases.  ``fidelity="fixed"`` uses
+     the textbook rule ``f_new <= f_x + c1*a*g.d``.
+  2. ``armijo_interpolation`` sets ``alpha_prev = alpha`` *after* alpha was
+     already replaced by the interpolated value (line_search.cpp:116), so from
+     the second failed trial on, ``delta_alpha == 0`` and the search degrades
+     to plain halving.  Replicated under "reference"; "fixed" keeps the
+     previous trial point.
+  3. The parallel backtracking/interp searches rescue underflowed steps with
+     ``return 0.5`` (parallel line_search.cpp:38-41,223-227) — enabled via
+     ``cfg.alpha_rescue_floor``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..config import LBFGSConfig
+from ..types import LineSearchResult
+from .interpolate import (
+    cubic_interpolate,
+    quadratic_interpolate,
+    safe_cubic_interpolate,
+)
+
+# f: x -> scalar; vg: x -> (scalar, grad)
+ObjFn = Callable[[Array], Array]
+ValGradFn = Callable[[Array], Tuple[Array, Array]]
+
+
+def _i32(v) -> Array:
+    return jnp.asarray(v, jnp.int32)
+
+
+def _apply_rescue(cfg: LBFGSConfig, alpha: Array) -> Array:
+    """Parallel-fidelity floor rescue: alpha < floor -> rescue value."""
+    if cfg.alpha_rescue_floor is None:
+        return alpha
+    return jnp.where(alpha < cfg.alpha_rescue_floor,
+                     jnp.asarray(cfg.alpha_rescue_value, alpha.dtype), alpha)
+
+
+def _armijo_accept(cfg: LBFGSConfig, f_x, f_new, alpha, g_dot_d) -> Array:
+    if cfg.fidelity == "reference":
+        # Reference rule (line_search.cpp:24): shrink while
+        # f_x - f_new < c1*alpha*g.d  =>  accept when f_x - f_new >= c1*alpha*g.d.
+        return (f_x - f_new) >= cfg.c1 * alpha * g_dot_d
+    # Textbook sufficient decrease.
+    return f_new <= f_x + cfg.c1 * alpha * g_dot_d
+
+
+# -----------------------------------------------------------------------------
+# 1. Armijo backtracking
+# -----------------------------------------------------------------------------
+
+def backtracking(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
+                 f_x: Array, g: Array, g_dot_d: Array) -> LineSearchResult:
+    """C++ control flow: test alpha; accept -> exit; else alpha *= shrink and
+    exit untested once alpha underflows backtracking_tol."""
+    del vg, g
+    dtype = f_x.dtype
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+
+    def cond(carry):
+        _, accepted, broke, _ = carry
+        return ~(accepted | broke)
+
+    def body(carry):
+        alpha, _, _, n_fev = carry
+        f_new = f(x + alpha * d)
+        accept = _armijo_accept(cfg, f_x, f_new, alpha, g_dot_d)
+        alpha_next = jnp.where(accept, alpha, alpha * cfg.shrink)
+        broke = ~accept & (alpha_next < cfg.backtracking_tol)
+        return alpha_next, accept, broke, n_fev + 1
+
+    alpha, _, _, n_fev = lax.while_loop(
+        cond, body, (alpha0, jnp.bool_(False), jnp.bool_(False), _i32(0)))
+    return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
+
+
+# -----------------------------------------------------------------------------
+# 2. Backtracking-Wolfe (multiplicative shrink/grow)
+# -----------------------------------------------------------------------------
+
+def backtracking_wolfe(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
+                       d: Array, f_x: Array, g: Array,
+                       g_dot_d: Array) -> LineSearchResult:
+    """Armijo fail -> alpha *= shrink; curvature fail -> alpha *= grow; the
+    reference loop has no iteration cap (line_search.cpp:39-52), so a safety
+    cap (cfg.ls_safety_cap) bounds the jitted loop."""
+    del g
+    dtype = f_x.dtype
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+
+    def cond(carry):
+        _, done, it, _, _ = carry
+        return ~done & (it < cfg.ls_safety_cap)
+
+    def body(carry):
+        alpha, _, it, n_fev, n_gev = carry
+        f_new, g_new = vg(x + alpha * d)
+        armijo_fail = f_new > f_x + cfg.c1 * alpha * g_dot_d
+        curv_fail = jnp.vdot(g_new, d) < cfg.c2 * g_dot_d
+        alpha_next = jnp.where(
+            armijo_fail, alpha * cfg.shrink,
+            jnp.where(curv_fail, alpha * cfg.grow, alpha))
+        accepted = ~armijo_fail & ~curv_fail
+        done = accepted | (alpha_next < cfg.backtracking_tol)
+        return alpha_next, done, it + 1, n_fev + 1, n_gev + 1
+
+    alpha, _, _, n_fev, n_gev = lax.while_loop(
+        cond, body, (alpha0, jnp.bool_(False), _i32(0), _i32(0), _i32(0)))
+    return LineSearchResult(alpha, n_fev, n_gev)
+
+
+# -----------------------------------------------------------------------------
+# 3. Backtracking-Wolfe via bisection (the parallel implementation's variant)
+# -----------------------------------------------------------------------------
+
+def backtracking_wolfe_bisect(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
+                              x: Array, d: Array, f_x: Array, g: Array,
+                              g_dot_d: Array) -> LineSearchResult:
+    """Bisection on [alpha_lo, alpha_hi]; doubles while no upper bound exists.
+
+    NOTE: the reference function locally hardcodes C2 = 0.9 even though
+    constants.h sets 0.7 (parallel line_search.cpp:54 — SURVEY.md fidelity
+    trap 3); pass cfg.c2 = 0.9 for exact parity with that code path.
+    """
+    del g
+    dtype = f_x.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def cond(carry):
+        _, _, _, done, it, _, _ = carry
+        return ~done & (it < cfg.ls_max_iters)
+
+    def body(carry):
+        alpha, lo, hi, _, it, n_fev, n_gev = carry
+        f_new, g_new = vg(x + alpha * d)
+        armijo_ok = f_new <= f_x + cfg.c1 * alpha * g_dot_d
+        gnd = jnp.vdot(g_new, d)
+        curv_ok = gnd >= cfg.c2 * g_dot_d
+        accepted = armijo_ok & curv_ok
+        lo = jnp.where(armijo_ok & ~curv_ok, alpha, lo)
+        hi = jnp.where(~armijo_ok, alpha, hi)
+        alpha_next = jnp.where(hi < big, (lo + hi) * 0.5, 2.0 * lo)
+        alpha_next = jnp.where(accepted, alpha, alpha_next)
+        done = accepted | (alpha_next < cfg.bisect_tol)
+        # The reference evaluates grad only when Armijo passes
+        # (line_search.cpp:116-118); count faithfully.
+        return (alpha_next, lo, hi, done, it + 1,
+                n_fev + 1, n_gev + armijo_ok.astype(jnp.int32))
+
+    alpha, *_rest = lax.while_loop(
+        cond, body,
+        (jnp.asarray(cfg.initial_step, dtype), jnp.asarray(0.0, dtype), big,
+         jnp.bool_(False), _i32(0), _i32(0), _i32(0)))
+    _, _, _, _, n_fev, n_gev = _rest
+    return LineSearchResult(alpha, n_fev, n_gev)
+
+
+# -----------------------------------------------------------------------------
+# 4. Armijo with quadratic-then-cubic interpolation
+# -----------------------------------------------------------------------------
+
+def armijo_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
+                         d: Array, f_x: Array, g: Array,
+                         g_dot_d: Array) -> LineSearchResult:
+    del vg, g
+    dtype = f_x.dtype
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+
+    def cond(carry):
+        _, _, _, done, _, it, _ = carry
+        return ~done & (it < cfg.ls_max_iters)
+
+    def body(carry):
+        alpha, alpha_prev, f_prev, _, result, it, n_fev = carry
+        f_new = f(x + alpha * d)
+        accept = f_new <= f_x + cfg.c1 * alpha * g_dot_d
+        floor_hit = ~accept & (alpha < cfg.interp_min)
+
+        # --- cubic branch (have a previous trial) ---
+        delta = alpha - alpha_prev
+        degenerate = jnp.abs(delta) < 1e-10
+        grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
+        a_cubic = cubic_interpolate(alpha_prev, alpha, f_prev, g_dot_d,
+                                    f_new, grad_alpha)
+        # Safeguard band is relative to alpha_prev (line_search.cpp:103);
+        # NaN comparisons are False in C++ and JAX alike, so NaN survives.
+        out_of_band = (a_cubic < 0.1 * alpha_prev) | (a_cubic > 0.9 * alpha_prev)
+        a_cubic = jnp.where(out_of_band, alpha_prev * 0.5, a_cubic)
+        a_from_cubic = jnp.where(degenerate, alpha * 0.5, a_cubic)
+
+        # --- quadratic branch (first failed trial) ---
+        a_quad = quadratic_interpolate(alpha, jnp.asarray(0.0, dtype),
+                                       f_new, g_dot_d, f_x)
+        out_q = (a_quad < 0.1 * cfg.initial_step) | (a_quad > 0.9 * cfg.initial_step)
+        a_quad = jnp.where(out_q, cfg.initial_step * 0.5, a_quad)
+
+        alpha_next = jnp.where(alpha_prev > 0, a_from_cubic, a_quad)
+
+        if cfg.fidelity == "reference":
+            # Quirk (line_search.cpp:116): alpha_prev tracks the NEW alpha, so
+            # delta collapses to 0 next round -> pure halving thereafter.
+            alpha_prev_next = alpha_next
+        else:
+            alpha_prev_next = alpha
+
+        done = accept | floor_hit
+        result = jnp.where(
+            accept, alpha,
+            jnp.where(floor_hit, jnp.asarray(cfg.interp_min, dtype), alpha_next))
+        return (alpha_next, alpha_prev_next, f_new, done, result, it + 1,
+                n_fev + 1)
+
+    carry = (alpha0, jnp.asarray(0.0, dtype), f_x, jnp.bool_(False), alpha0,
+             _i32(0), _i32(0))
+    alpha, _, _, done, result, _, n_fev = lax.while_loop(cond, body, carry)
+    # On cap exhaustion the reference returns the current alpha
+    # (line_search.cpp:120); only that path goes through the parallel
+    # implementation's floor rescue (parallel line_search.cpp:223-227) —
+    # in-loop accepts return alpha directly.
+    alpha_out = jnp.where(done, result, _apply_rescue(cfg, alpha))
+    return LineSearchResult(alpha_out, n_fev, _i32(0))
+
+
+# -----------------------------------------------------------------------------
+# 5. Strong-Wolfe with cubic interpolation (zoom)
+# -----------------------------------------------------------------------------
+
+def wolfe_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
+                        d: Array, f_x: Array, g: Array,
+                        g_dot_d: Array) -> LineSearchResult:
+    del f, g
+    dtype = f_x.dtype
+    interp = safe_cubic_interpolate if cfg.safe_cubic else cubic_interpolate
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def cond(carry):
+        return ~carry[5] & (carry[7] < cfg.ls_max_iters)
+
+    def body(carry):
+        (alpha, lo, hi, f_lo, dphi_lo, _, result, it, n_fev, n_gev) = carry
+        f_new, g_new = vg(x + alpha * d)
+        # Branch 1: Armijo violated, or not an improvement over the lo point.
+        branch1 = (f_new > f_x + cfg.c1 * alpha * g_dot_d) | \
+                  ((f_new >= f_lo) & (it > 0))
+        grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
+        a_b1 = interp(lo, alpha, f_lo, dphi_lo, f_new, grad_alpha)
+
+        dphi_new = jnp.vdot(g_new, d)
+        accepted = ~branch1 & (jnp.abs(dphi_new) <= -cfg.c2 * g_dot_d)
+
+        # Branch 2: curvature sign flipped -> alpha becomes the new hi.
+        branch2 = ~branch1 & ~accepted & (dphi_new >= 0)
+        a_b2 = interp(lo, alpha, f_lo, dphi_lo, f_new, dphi_new)
+
+        # Branch 3: still descending -> alpha becomes the new lo; double when
+        # unbounded above, else interpolate against hi.  Matches the reference
+        # exactly: the interpolation uses the *updated* lo/f_lo/dphi_lo
+        # (line_search.cpp:171-180).
+        branch3 = ~branch1 & ~accepted & ~branch2
+        a_b3 = jnp.where(jnp.isinf(hi), alpha * 2.0,
+                         interp(alpha, hi, f_new, dphi_new, f_new, dphi_new))
+
+        hi_next = jnp.where(branch1 | branch2, alpha, hi)
+        lo_next = jnp.where(branch3, alpha, lo)
+        f_lo_next = jnp.where(branch3, f_new, f_lo)
+        dphi_lo_next = jnp.where(branch3, dphi_new, dphi_lo)
+
+        alpha_next = jnp.where(branch1, a_b1,
+                               jnp.where(branch2, a_b2,
+                                         jnp.where(branch3, a_b3, alpha)))
+        # interp_min floor check is skipped on branch 1 (the `continue` at
+        # line_search.cpp:156 bypasses it).
+        floor_hit = ~branch1 & ~accepted & (alpha_next < cfg.interp_min)
+
+        done = accepted | floor_hit
+        result = jnp.where(
+            accepted, alpha,
+            jnp.where(floor_hit, jnp.asarray(cfg.interp_min, dtype), result))
+        # Reference evaluates grad only when branch 1 is not taken.
+        return (alpha_next, lo_next, hi_next, f_lo_next, dphi_lo_next, done,
+                result, it + 1, n_fev + 1, n_gev + (~branch1).astype(jnp.int32))
+
+    carry = (jnp.asarray(cfg.initial_step, dtype), jnp.asarray(0.0, dtype),
+             inf, f_x, g_dot_d, jnp.bool_(False),
+             jnp.asarray(cfg.initial_step, dtype), _i32(0), _i32(0), _i32(0))
+    alpha, _, _, _, _, done, result, _, n_fev, n_gev = lax.while_loop(
+        cond, body, carry)
+    return LineSearchResult(jnp.where(done, result, alpha), n_fev, n_gev)
+
+
+_STRATEGIES = {
+    "backtracking": backtracking,
+    "backtracking_wolfe": backtracking_wolfe,
+    "backtracking_wolfe_bisect": backtracking_wolfe_bisect,
+    "armijo_interpolation": armijo_interpolation,
+    "wolfe_interpolation": wolfe_interpolation,
+}
+
+
+def get_line_search(name: str):
+    return _STRATEGIES[name]

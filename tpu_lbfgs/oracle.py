@@ -1,0 +1,300 @@
+"""NumPy oracle: a straight-line, host-side implementation of the reference
+algorithm used as the trajectory-parity target for the JAX solver.
+
+This is a *specification* of the reference's exact decision rules
+(sequential-implementation/lbfgs.cpp:17-203 and both line_search.cpp files),
+written clean-room in NumPy with plain Python control flow — `goto`s become
+early returns, deques become lists.  tests/test_solver_parity.py asserts the
+jitted while_loop/scan solver follows the same iterate trajectory in fp64.
+
+A faithful C++ oracle with the same semantics lives in native/oracle.cpp and
+doubles as the CPU performance baseline for bench.py.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .config import LBFGSConfig
+
+
+# --- interpolators (line_search.cpp:8-16; parallel :231-296) --------------------
+
+def cubic_interpolate(a0, a1, p0, dp0, p1, dp1):
+    d1 = dp0 + dp1 - 3.0 * (p1 - p0) / (a1 - a0)
+    disc = d1 * d1 - dp0 * dp1
+    root = math.sqrt(disc) if disc >= 0 else float("nan")
+    d2 = math.copysign(root, a1 - a0)
+    return a0 + (a1 - a0) * (dp0 + d2 - d1) / (dp0 - dp1 + 2.0 * d2)
+
+
+def quadratic_interpolate(a0, a1, p0, dp0, p1):
+    return a0 - 0.5 * dp0 * a0 * a0 / (p1 - p0 - dp0 * a0)
+
+
+def safe_cubic_interpolate(a0, a1, p0, dp0, p1, dp1):
+    if a0 > a1:
+        a0, a1 = a1, a0
+        p0, p1 = p1, p0
+        dp0, dp1 = dp1, dp0
+    mid = 0.5 * (a0 + a1)
+    span = a1 - a0
+    d1 = dp0 + dp1 - 3.0 * (p1 - p0) / span if span != 0 else float("inf")
+    if not math.isfinite(d1):
+        return mid
+    disc = d1 * d1 - dp0 * dp1
+    if disc < 0:
+        return mid
+    d2 = math.copysign(math.sqrt(disc), span)
+    denom = dp0 - dp1 + 2.0 * d2
+    if abs(denom) < 1e-10:
+        return mid
+    result = a0 + span * (dp0 + d2 - d1) / denom
+    if not math.isfinite(result):
+        return mid
+    return max(a0 + 0.1 * span, min(a1 - 0.1 * span, result))
+
+
+# --- line searches --------------------------------------------------------------
+
+def ls_backtracking(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+    alpha = cfg.initial_step
+    while True:
+        f_new = f(x + alpha * d)
+        if cfg.fidelity == "reference":
+            accept = (f_x - f_new) >= cfg.c1 * alpha * gdd
+        else:
+            accept = f_new <= f_x + cfg.c1 * alpha * gdd
+        if accept:
+            break
+        alpha *= cfg.shrink
+        if alpha < cfg.backtracking_tol:
+            break
+    if cfg.alpha_rescue_floor is not None and alpha < cfg.alpha_rescue_floor:
+        return cfg.alpha_rescue_value
+    return alpha
+
+
+def ls_backtracking_wolfe(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+    alpha = cfg.initial_step
+    it = 0
+    while it < cfg.ls_safety_cap:
+        it += 1
+        x_new = x + alpha * d
+        g_new = grad(x_new)
+        f_new = f(x_new)
+        if f_new > f_x + cfg.c1 * alpha * gdd:
+            alpha *= cfg.shrink
+        elif float(np.dot(g_new, d)) < cfg.c2 * gdd:
+            alpha *= cfg.grow
+        else:
+            break
+        if alpha < cfg.backtracking_tol:
+            break
+    return alpha
+
+
+def ls_backtracking_wolfe_bisect(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+    alpha = cfg.initial_step
+    lo, hi = 0.0, np.finfo(np.float64).max
+    for _ in range(cfg.ls_max_iters):
+        x_new = x + alpha * d
+        f_new = f(x_new)
+        if f_new <= f_x + cfg.c1 * alpha * gdd:
+            gnd = float(np.dot(grad(x_new), d))
+            if gnd >= cfg.c2 * gdd:
+                break
+            lo = alpha
+        else:
+            hi = alpha
+        alpha = (lo + hi) / 2.0 if hi < np.finfo(np.float64).max else 2.0 * lo
+        if alpha < cfg.bisect_tol:
+            break
+    return alpha
+
+
+def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+    alpha = cfg.initial_step
+    alpha_prev = 0.0
+    f_prev = f_x
+    for _ in range(cfg.ls_max_iters):
+        alpha_tested = alpha
+        f_new = f(x + alpha * d)
+        if f_new <= f_x + cfg.c1 * alpha * gdd:
+            return alpha
+        if alpha < cfg.interp_min:
+            return cfg.interp_min
+        if alpha_prev > 0:
+            if abs(alpha - alpha_prev) < 1e-10:
+                alpha = alpha * 0.5
+            else:
+                grad_alpha = (f_new - f_x - gdd * alpha) / (alpha * alpha)
+                a = cubic_interpolate(alpha_prev, alpha, f_prev, gdd, f_new,
+                                      grad_alpha)
+                # NaN comparisons are False, matching C++ (NaN passes through).
+                if a < 0.1 * alpha_prev or a > 0.9 * alpha_prev:
+                    a = alpha_prev * 0.5
+                alpha = a
+        else:
+            a = quadratic_interpolate(alpha, 0.0, f_new, gdd, f_x)
+            if a < 0.1 * cfg.initial_step or a > 0.9 * cfg.initial_step:
+                a = cfg.initial_step * 0.5
+            alpha = a
+        if cfg.fidelity == "reference":
+            alpha_prev = alpha   # the reference's bookkeeping quirk
+        else:
+            alpha_prev = alpha_tested  # "fixed": track the tested point
+        f_prev = f_new
+    if cfg.alpha_rescue_floor is not None and alpha < cfg.alpha_rescue_floor:
+        return cfg.alpha_rescue_value
+    return alpha
+
+
+def ls_wolfe_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+    interp = safe_cubic_interpolate if cfg.safe_cubic else cubic_interpolate
+    alpha = cfg.initial_step
+    lo, hi = 0.0, float("inf")
+    f_lo, dphi_lo = f_x, gdd
+    for it in range(cfg.ls_max_iters):
+        x_new = x + alpha * d
+        f_new = f(x_new)
+        if f_new > f_x + cfg.c1 * alpha * gdd or (f_new >= f_lo and it > 0):
+            hi = alpha
+            alpha = interp(lo, hi, f_lo, dphi_lo, f_new,
+                           (f_new - f_x - gdd * alpha) / (alpha * alpha))
+            continue
+        dphi_new = float(np.dot(grad(x_new), d))
+        if abs(dphi_new) <= -cfg.c2 * gdd:
+            return alpha
+        if dphi_new >= 0:
+            hi = alpha
+            alpha = interp(lo, hi, f_lo, dphi_lo, f_new, dphi_new)
+        else:
+            lo = alpha
+            f_lo, dphi_lo = f_new, dphi_new
+            if hi == float("inf"):
+                alpha = alpha * 2.0
+            else:
+                alpha = interp(lo, hi, f_lo, dphi_lo, f_new, dphi_new)
+        if alpha < cfg.interp_min:
+            return cfg.interp_min
+    return alpha
+
+
+LINE_SEARCHES = {
+    "backtracking": ls_backtracking,
+    "backtracking_wolfe": ls_backtracking_wolfe,
+    "backtracking_wolfe_bisect": ls_backtracking_wolfe_bisect,
+    "armijo_interpolation": ls_armijo_interpolation,
+    "wolfe_interpolation": ls_wolfe_interpolation,
+}
+
+
+# --- solver (lbfgs.cpp:17-203) ---------------------------------------------------
+
+@dataclass
+class OracleResult:
+    x: np.ndarray
+    f: float
+    g_norm: float
+    iterations: int
+    status: str
+    xs: List[np.ndarray] = field(default_factory=list)
+    fs: List[float] = field(default_factory=list)
+    g_norms: List[float] = field(default_factory=list)
+    alphas: List[float] = field(default_factory=list)
+
+
+def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,
+                 cfg: LBFGSConfig, record: bool = True) -> OracleResult:
+    x = np.asarray(x0, np.float64).copy()
+    f_current = float(f(x))
+    g = np.asarray(grad(x), np.float64)
+    s_hist: List[np.ndarray] = []
+    y_hist: List[np.ndarray] = []
+    line_search = LINE_SEARCHES[cfg.line_search]
+    res = OracleResult(x, f_current, float(np.linalg.norm(g)), 0, "max_iters")
+
+    for k in range(cfg.max_iters):
+        g_norm = float(np.linalg.norm(g))
+        if record:
+            res.xs.append(x.copy())
+            res.fs.append(f_current)
+            res.g_norms.append(g_norm)
+        if g_norm < cfg.tol:
+            res.status = "converged"
+            break
+
+        # --- direction: two-loop with reference guards ---
+        d = _direction(cfg, g, s_hist, y_hist)
+
+        gdd = float(np.dot(g, d))
+        if gdd >= 0:
+            d = -g
+            gdd = float(np.dot(g, d))
+
+        alpha = line_search(cfg, f, grad, x, d, f_current, g, gdd)
+        if record:
+            res.alphas.append(alpha)
+
+        x_new = x + alpha * d
+        f_current = float(f(x_new))
+        if alpha < cfg.step_fail_tol:
+            res.status = "line_search_failed"
+            break
+
+        g_new = np.asarray(grad(x_new), np.float64)
+        s = x_new - x
+        y = g_new - g
+        sy = float(np.dot(s, y))
+        if sy > cfg.curvature_threshold:
+            if len(s_hist) >= cfg.m:
+                s_hist.pop(0)
+                y_hist.pop(0)
+            s_hist.append(s)
+            y_hist.append(y)
+
+        x, g = x_new, g_new
+        res.iterations = k + 1
+
+    res.x = x
+    res.f = float(f(x))
+    res.g_norm = float(np.linalg.norm(g))
+    return res
+
+
+def _direction(cfg: LBFGSConfig, g, s_hist, y_hist) -> np.ndarray:
+    """Two-loop recursion with the CPU reference's guards (lbfgs.cpp:86-144)."""
+    if not s_hist:
+        return -g
+    h = len(s_hist)
+    q = g.copy()
+    alphas = np.zeros(h)
+    skip = [False] * h
+    for i in range(h - 1, -1, -1):
+        sy = float(np.dot(y_hist[i], s_hist[i]))
+        if cfg.pair_skip_threshold is not None:
+            if sy <= cfg.pair_skip_threshold:
+                skip[i] = True
+                continue
+        rho = 1.0 / sy if sy != 0 else float("inf")
+        if not math.isfinite(rho):
+            return -g
+        alphas[i] = rho * float(np.dot(s_hist[i], q))
+        q -= alphas[i] * y_hist[i]
+    sy_last = float(np.dot(s_hist[-1], y_hist[-1]))
+    yy_last = float(np.dot(y_hist[-1], y_hist[-1]))
+    gamma = sy_last / yy_last if yy_last != 0 else float("nan")
+    if gamma <= 0 or not math.isfinite(gamma):
+        return -g
+    r = gamma * q
+    for i in range(h):
+        if skip[i]:
+            continue
+        rho = 1.0 / float(np.dot(y_hist[i], s_hist[i]))
+        beta = rho * float(np.dot(y_hist[i], r))
+        r += s_hist[i] * (alphas[i] - beta)
+    return -r

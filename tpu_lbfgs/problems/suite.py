@@ -1,0 +1,154 @@
+"""Benchmark objective-function suite.
+
+TPU-native re-implementation of the reference problem suite:
+  - quadratic        sum (x_i - 1)^2            (parallel-implementation/functions.cpp:6-24)
+  - rosenbrock       coupled chained Rosenbrock (functions.cpp:26-49,
+                      sequential-implementation/benchmark.cpp:58-81)
+  - coupled_quadratic dense quadratic with tridiagonal coupling, COEFFICIENT=1000
+                      (sequential-implementation/benchmark.cpp:16-56)
+
+Each problem provides a jit/vmap/grad-compatible ``f`` plus a hand-derived
+analytic gradient kept as a cross-check against ``jax.grad`` (the reference
+ships analytic gradients only; its GPU Rosenbrock gradient kernel in
+benchmark.cu:30-48 is mathematically wrong and is deliberately NOT replicated —
+SURVEY.md §2 item 20).
+
+All functions are written with vectorized jnp ops (VPU-friendly, no Python
+loops over coordinates), are dtype-polymorphic, and reduce with a single
+``jnp.sum`` so XLA emits one fused reduction per evaluation.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    name: str
+    f: Callable[[Array], Array]
+    grad: Callable[[Array], Array]          # analytic gradient
+    minimum_value: Optional[float] = None   # known f at the minimizer
+    minimizer: Optional[Callable[[int, jnp.dtype], Array]] = None
+
+    def value_and_grad(self, x: Array) -> tuple[Array, Array]:
+        """f and analytic gradient in one call (one pass over x each)."""
+        return self.f(x), self.grad(x)
+
+
+# --- quadratic: sum (x_i - 1)^2 --------------------------------------------------
+
+def quadratic_f(x: Array) -> Array:
+    r = x - 1.0
+    return jnp.sum(r * r)
+
+
+def quadratic_grad(x: Array) -> Array:
+    return 2.0 * (x - 1.0)
+
+
+# --- chained Rosenbrock ----------------------------------------------------------
+
+def rosenbrock_f(x: Array) -> Array:
+    # sum_i 100 (x_{i+1} - x_i^2)^2 + (1 - x_i)^2 over i in [0, d-2]
+    xi = x[:-1]
+    xn = x[1:]
+    t1 = xn - xi * xi
+    t2 = 1.0 - xi
+    return jnp.sum(100.0 * t1 * t1 + t2 * t2)
+
+
+def rosenbrock_grad(x: Array) -> Array:
+    # Each interior coordinate receives a contribution from term i (as x_i) and
+    # term i-1 (as x_{i+1}); expressed as two shifted vector updates instead of
+    # the reference's scalar accumulation loop (functions.cpp:38-49).
+    xi = x[:-1]
+    xn = x[1:]
+    t2 = xn - xi * xi                       # x_{i+1} - x_i^2
+    g = jnp.zeros_like(x)
+    g = g.at[:-1].add(2.0 * (xi - 1.0) - 400.0 * xi * t2)
+    g = g.at[1:].add(200.0 * t2)
+    return g
+
+
+# --- coupled quadratic (tridiagonal), COEFFICIENT = 1000 -------------------------
+
+COUPLED_COEFFICIENT = 1000.0
+
+
+def coupled_quadratic_f(x: Array, coeff: float = COUPLED_COEFFICIENT) -> Array:
+    # coeff * sum x_i^2 + (coeff/10) * sum x_i x_{i+1}
+    return coeff * jnp.sum(x * x) + (coeff / 10.0) * jnp.sum(x[:-1] * x[1:])
+
+
+def coupled_quadratic_grad(x: Array, coeff: float = COUPLED_COEFFICIENT) -> Array:
+    g = 2.0 * coeff * x
+    g = g.at[:-1].add((coeff / 10.0) * x[1:])
+    g = g.at[1:].add((coeff / 10.0) * x[:-1])
+    return g
+
+
+# --- extras (not in the reference, useful for tests) -----------------------------
+
+def sphere_f(x: Array) -> Array:
+    return jnp.sum(x * x)
+
+
+def sphere_grad(x: Array) -> Array:
+    return 2.0 * x
+
+
+_PROBLEMS = {
+    "quadratic": Problem(
+        "quadratic", quadratic_f, quadratic_grad,
+        minimum_value=0.0,
+        minimizer=lambda d, dtype: jnp.ones((d,), dtype),
+    ),
+    "rosenbrock": Problem(
+        "rosenbrock", rosenbrock_f, rosenbrock_grad,
+        minimum_value=0.0,
+        minimizer=lambda d, dtype: jnp.ones((d,), dtype),
+    ),
+    "coupled_quadratic": Problem(
+        "coupled_quadratic", coupled_quadratic_f, coupled_quadratic_grad,
+        minimum_value=0.0,
+        minimizer=lambda d, dtype: jnp.zeros((d,), dtype),
+    ),
+    "sphere": Problem(
+        "sphere", sphere_f, sphere_grad,
+        minimum_value=0.0,
+        minimizer=lambda d, dtype: jnp.zeros((d,), dtype),
+    ),
+}
+
+
+def get_problem(name: str) -> Problem:
+    try:
+        return _PROBLEMS[name]
+    except KeyError:
+        raise KeyError(f"unknown problem {name!r}; available: {sorted(_PROBLEMS)}")
+
+
+def problem_names() -> list[str]:
+    return sorted(_PROBLEMS)
+
+
+def register_problem(problem: Problem) -> None:
+    _PROBLEMS[problem.name] = problem
+
+
+def reference_x0(d: int, seed: int, low: float = -1000.0, high: float = 1000.0,
+                 dtype=jnp.float64) -> Array:
+    """Starting point matching the reference driver's initialization.
+
+    The reference draws x0 ~ U(-1000, 1000) with std::mt19937 (main.cpp:36-45);
+    exact bit-parity with the C++ RNG is neither possible nor needed — parity
+    runs feed identical x0 arrays to both implementations.  Experiment seeds:
+    42, 365, 12345, 777777, 10000 (main.cpp:33).
+    """
+    key = jax.random.PRNGKey(seed)
+    return jax.random.uniform(key, (d,), dtype=dtype, minval=low, maxval=high)

@@ -1,0 +1,91 @@
+"""Core state / result containers.
+
+The reference keeps solver state in loose locals plus two ``std::deque``s of
+vectors (lbfgs.cpp:32) on CPU, or ``m`` separately-allocated device buffers
+indexed ``k % m`` on GPU (L-BFGS.cu:160-172,216-235).  The TPU-native design
+uses one fixed-shape pytree: the history is a dense ``(m, d)`` ring buffer so
+every iteration is a statically-shaped XLA program (no dynamic shapes, no
+reallocation), sharding annotations apply uniformly, and the whole state can be
+donated between iterations.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import Array
+
+
+class Status:
+    """Solver status codes (carried on-device as int32)."""
+
+    RUNNING = 0
+    CONVERGED = 1        # ||g|| < tol                       (lbfgs.cpp:80-84)
+    LINE_SEARCH_FAILED = 2  # alpha < step_fail_tol          (lbfgs.cpp:164-168)
+    MAX_ITERS = 3        # iteration cap                     (lbfgs.cpp:201)
+
+    NAMES = {0: "running", 1: "converged", 2: "line_search_failed", 3: "max_iters"}
+
+
+class LBFGSState(NamedTuple):
+    """Full solver state; a pytree, so it vmaps/shards/checkpoints directly.
+
+    Ring-buffer semantics: pair number ``p`` (0-based, over *accepted* pairs)
+    lives in physical slot ``p % m``.  ``n_pairs`` counts accepted pairs ever;
+    ``hist_len = min(n_pairs, m)``.  Logical (chronological) index
+    ``j in [0, hist_len)`` with 0 = oldest maps to physical slot
+    ``(n_pairs - hist_len + j) % m``.
+    """
+
+    x: Array          # (d,)   current iterate
+    f: Array          # ()     f(x)
+    g: Array          # (d,)   grad f(x)
+    g_norm: Array     # ()     ||g||_2, computed fused with the gradient update
+                      #        so the loop condition never re-reads g
+    s_hist: Array     # (m, d) s_p = x_{p+1} - x_p, ring-indexed
+    y_hist: Array     # (m, d) y_p = g_{p+1} - g_p, ring-indexed
+    sy_hist: Array    # (m,)   s_p . y_p (rho denominators, precomputed on store)
+    yy_hist: Array    # (m,)   y_p . y_p (gamma denominators, precomputed on store)
+    n_pairs: Array    # ()     int32, accepted pairs ever stored
+    k: Array          # ()     int32, iteration counter
+    status: Array     # ()     int32, Status code
+    alpha: Array      # ()     last accepted step size
+    n_fev: Array      # ()     int32, objective evaluations
+    n_gev: Array      # ()     int32, gradient evaluations
+
+    @property
+    def hist_len(self) -> Array:
+        return jnp.minimum(self.n_pairs, self.s_hist.shape[0])
+
+
+class LineSearchResult(NamedTuple):
+    alpha: Array      # ()     accepted (or last) step size
+    n_fev: Array      # ()     int32, objective evals performed by the search
+    n_gev: Array      # ()     int32, gradient evals performed by the search
+
+
+class Trace(NamedTuple):
+    """Per-iteration metrics recorded by the bounded solver.
+
+    Replaces the reference's per-iteration host ``cout`` logging
+    (lbfgs.cpp:76-78, L-BFGS.cu:307,350-351) — which forces a device sync every
+    iteration — with arrays carried in the scan and read out once at the end.
+    Entries at indices >= the final ``k`` are frozen copies of the last state.
+    """
+
+    f: Array          # (max_iters,)
+    g_norm: Array     # (max_iters,)
+    alpha: Array      # (max_iters,)
+    n_fev: Array      # (max_iters,) cumulative
+    n_gev: Array      # (max_iters,) cumulative
+
+
+class SolveResult(NamedTuple):
+    x: Array
+    f: Array
+    g_norm: Array
+    iterations: Array   # ()   int32
+    status: Array       # ()   int32 (Status)
+    n_fev: Array
+    n_gev: Array
+    trace: Optional[Trace] = None
