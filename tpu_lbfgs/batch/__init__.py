@@ -1,0 +1,1 @@
+from .vmapped import vmap_minimize

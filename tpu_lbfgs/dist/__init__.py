@@ -1,0 +1,3 @@
+from .mesh import make_mesh, make_mesh_2d, result_shardings, state_shardings
+from .multihost import global_mesh, initialize, is_coordinator
+from .sharded import sharded_minimize, sharded_vmap_minimize

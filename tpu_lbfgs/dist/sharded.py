@@ -1,0 +1,123 @@
+"""Sharded solves: the parameter vector and curvature history partitioned
+over the device mesh, reductions riding ICI via XLA-inserted psums.
+
+Design (SURVEY.md §7 layer 5): the solver core is written in plain jnp ops on
+whole arrays; this layer only places data.  Under jit with sharded
+in/out specs, the SPMD partitioner turns every ``jnp.vdot`` into a local
+partial dot + all-reduce, every axpy into purely local work, and the
+``compact`` direction's (2m, d) contraction into ONE all-reduce of a
+(2m, m+1) block per iteration — compare the reference's per-scalar cuBLAS
+Ddot round-trips (L-BFGS.cu:219-274).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LBFGSConfig
+from ..core.solver import (
+    _solve_traced,
+    _state_to_result,
+    init_state,
+    make_value_and_grad,
+    solve_from_state,
+)
+from ..types import SolveResult
+from .mesh import make_mesh, result_shardings, state_shardings
+
+
+def _pad_for_mesh(f, vg, x0, n_shards: int):
+    """Zero-pad x0 to a multiple of the shard count and wrap the objective to
+    ignore the padding.  Padded coordinates have exactly zero gradient, so
+    they never move and the padded solve is step-for-step identical to the
+    original (the line search, history, and all reductions see zeros there).
+    """
+    d = x0.shape[-1]
+    d_pad = ((d + n_shards - 1) // n_shards) * n_shards
+    if d_pad == d:
+        return f, vg, x0, d
+    pad = d_pad - d
+    x0p = jnp.concatenate([x0, jnp.zeros((pad,), x0.dtype)])
+
+    def f_p(x):
+        return f(x[:d])
+
+    def vg_p(x):
+        val, g = vg(x[:d])
+        return val, jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
+
+    return f_p, vg_p, x0p, d
+
+
+def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
+                     mesh: Optional[Mesh] = None, grad=None,
+                     value_and_grad=None, d_axis: str = "d") -> SolveResult:
+    """Single-instance solve with x, g, and the (m, d) history sharded on the
+    vector axis across the mesh.  Dimensions not divisible by the mesh are
+    transparently zero-padded (exactly equivalent — see _pad_for_mesh)."""
+    mesh = mesh if mesh is not None else make_mesh(axis_name=d_axis)
+    vg = make_value_and_grad(f, grad, value_and_grad)
+
+    n_shards = int(mesh.shape[d_axis])
+    f, vg, x0_arr, d_orig = _pad_for_mesh(f, vg, jnp.asarray(x0), n_shards)
+
+    st_sh = state_shardings(mesh, d_axis)
+    x_sh = NamedSharding(mesh, P(d_axis))
+    x0 = jax.device_put(x0_arr, x_sh)
+
+    @partial(jax.jit, out_shardings=st_sh)
+    def make_state(x0):
+        return init_state(vg, x0, cfg.m)
+
+    trace_len = cfg.max_iters if cfg.record_trace else None
+    res_sh = result_shardings(mesh, d_axis, trace_len=trace_len)
+
+    @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
+    def run(state):
+        if cfg.record_trace:
+            out, trace = _solve_traced(cfg, f, vg, state)
+            return _state_to_result(out, trace)
+        out = solve_from_state(cfg, f, vg, state)
+        return _state_to_result(out, None)
+
+    res = run(make_state(x0))
+    if res.x.shape[-1] != d_orig:
+        res = res._replace(x=res.x[:d_orig])
+    return res
+
+
+def sharded_vmap_minimize(f: Callable, x0_batch,
+                          cfg: LBFGSConfig = LBFGSConfig(),
+                          mesh: Optional[Mesh] = None, grad=None,
+                          value_and_grad=None, batch_axis: str = "b",
+                          d_axis: str = "d") -> SolveResult:
+    """Batched AND sharded: instance batch split over the DP-like mesh axis,
+    each instance's vector split over the d axis.  This is the full 2-D
+    parallelism story (dp x tp analogue) for the optimizer."""
+    if mesh is None:
+        raise ValueError("sharded_vmap_minimize requires an explicit 2-D mesh "
+                         "(make_mesh_2d)")
+    vg = make_value_and_grad(f, grad, value_and_grad)
+
+    st_sh = state_shardings(mesh, d_axis, batch_axis=batch_axis)
+    x_sh = NamedSharding(mesh, P(batch_axis, d_axis))
+    x0_batch = jax.device_put(jnp.asarray(x0_batch), x_sh)
+    res_sh = result_shardings(mesh, d_axis, batch_axis=batch_axis)
+
+    @partial(jax.jit, out_shardings=st_sh)
+    def make_states(x0s):
+        return jax.vmap(lambda x: init_state(vg, x, cfg.m))(x0s)
+
+    @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
+    def run(states):
+        def one(state):
+            out = solve_from_state(cfg, f, vg, state)
+            return _state_to_result(out, None)
+
+        return jax.vmap(one)(states)
+
+    return run(make_states(x0_batch))
