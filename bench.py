@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Headline benchmark: L-BFGS iterations/s on Rosenbrock d=1e6 (TPU, f32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N, ...}
+
+vs_baseline semantics: the reference's published headline is its GPU running
+1.2x faster than its own CPU implementation at d=10,000 (BASELINE.md, Table
+Fig.1).  Absolute reference GPU times are unrecoverable (missing xlsx), so the
+baseline is reconstructed on this machine: the native C++ oracle (-O3
+-march=native, the stand-in for the reference's sequential implementation)
+times the identical fixed-iteration workload, and
+
+    vs_baseline = tpu_iters_per_s / (1.2 * cpu_iters_per_s)
+
+i.e. our speedup over the *reference-GPU-equivalent* throughput.  Values > 1
+beat the reference's headline result.
+"""
+import json
+import sys
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tpu_lbfgs.bench.harness import (
+        REFERENCE_GPU_SPEEDUP,
+        bench_cpu_native,
+        bench_tpu,
+    )
+    from tpu_lbfgs.config import LBFGSConfig
+
+    # d = 2^20 ("1e6-class"): an exact Pallas-block multiple so the fused
+    # kernels run without padding copies.
+    d = 1 << 20
+    cfg = LBFGSConfig(line_search="backtracking", direction="compact", m=10,
+                      use_pallas=True)
+
+    tpu = bench_tpu(problem="rosenbrock", d=d, iters=200, cfg=cfg,
+                    dtype=jnp.float32, repeats=3)
+    cpu = bench_cpu_native(problem="rosenbrock", d=d, iters=20, cfg=cfg)
+
+    vs_baseline = tpu.iters_per_s / (REFERENCE_GPU_SPEEDUP * cpu.iters_per_s)
+    print(json.dumps({
+        "metric": "lbfgs_iters_per_s_rosenbrock_d1e6_f32",
+        "value": round(tpu.iters_per_s, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
+        "tpu_wall_s_200it": round(tpu.wall_s, 4),
+        "config": "backtracking/compact/m=10",
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

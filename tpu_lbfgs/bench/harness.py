@@ -1,0 +1,153 @@
+"""Benchmark harness: timing protocol replicating the reference's experiment
+setup (cuda_lbfgs.pdf §IV; SURVEY.md §6).
+
+Protocol:
+  - fixed-iteration runs (tol=0) so every implementation does identical
+    algorithmic work per timed iteration — the reference instead times
+    whole convergence runs, which confounds line-search trial counts;
+    we report both modes.
+  - seeds 42, 365, 12345, 777777, 10000 (sequential-implementation/main.cpp:33),
+    mean over seeds.
+  - compile excluded (one warmup), best-of-R timed repeats per seed.
+
+CPU baseline: the native C++ oracle (-O3, -march=native) — this machine's
+stand-in for the reference's sequential implementation.  The reference's
+headline GPU result is 1.2x its CPU at d=10,000 (BASELINE.md), so
+"reference-GPU-equivalent" throughput = 1.2 x the C++ CPU throughput.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LBFGSConfig
+from ..core.solver import init_state, make_value_and_grad, solve_from_state
+from ..problems import get_problem
+
+REFERENCE_SEEDS = (42, 365, 12345, 777777, 10000)
+REFERENCE_GPU_SPEEDUP = 1.2  # cuda_lbfgs.pdf §IV-A headline at d=10,000
+
+
+@dataclass
+class BenchResult:
+    name: str
+    iters_per_s: float
+    wall_s: float
+    iterations: int
+    final_f: float
+    final_g_norm: float
+    details: dict
+
+
+def _x0(problem: str, d: int, seed: int, dtype) -> jnp.ndarray:
+    # Near-valley start keeps Rosenbrock line-search work representative
+    # without needing 1e4+ iterations of warmup.
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-2.0, 2.0, d)
+    return jnp.asarray(base, dtype)
+
+
+def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
+              iters: int = 200, cfg: Optional[LBFGSConfig] = None,
+              dtype=jnp.float32, seeds=REFERENCE_SEEDS[:1],
+              repeats: int = 3) -> BenchResult:
+    """Fixed-iteration throughput of the jitted solver on the default device."""
+    cfg = cfg or LBFGSConfig(line_search="backtracking", direction="compact")
+    cfg = cfg.replace(max_iters=iters, tol=0.0)  # tol=0: never converge early
+    p = get_problem(problem)
+    if cfg.use_pallas:
+        from ..problems.suite import fused_value_and_grad
+        vg = fused_value_and_grad(problem, use_pallas=True)
+    else:
+        vg = make_value_and_grad(p.f, p.grad)
+
+    @jax.jit
+    def run(x0):
+        state = init_state(vg, x0, cfg.m)
+        return solve_from_state(cfg, p.f, vg, state)
+
+    def sync(out):
+        # NOTE: on the axon remote backend, jax.block_until_ready over the
+        # full state pytree is pathological (per-buffer readiness checks pull
+        # large history buffers through the host relay) and does not reliably
+        # fence for timing; fetching a scalar that depends on the whole solve
+        # is the correct end-to-end fence.
+        return float(out.f)
+
+    per_seed = []
+    out = None
+    for seed in seeds:
+        x0 = _x0(problem, d, seed, dtype)
+        out = run(x0)
+        sync(out)                           # warmup / compile
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(x0)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        per_seed.append(best)
+    wall = float(np.mean(per_seed))
+    return BenchResult(
+        name=f"tpu/{problem}/d={d}/{cfg.line_search}/{cfg.direction}/{jnp.dtype(dtype).name}",
+        iters_per_s=iters / wall, wall_s=wall, iterations=iters,
+        final_f=float(out.f), final_g_norm=float(out.g_norm),
+        details={"per_seed_s": per_seed, "n_fev": int(out.n_fev),
+                 "n_gev": int(out.n_gev)})
+
+
+def bench_cpu_native(problem: str = "rosenbrock", d: int = 1_000_000,
+                     iters: int = 20, cfg: Optional[LBFGSConfig] = None,
+                     seeds=REFERENCE_SEEDS[:1]) -> BenchResult:
+    """Fixed-iteration throughput of the C++ oracle (the CPU baseline)."""
+    from ..native import native_lbfgs
+
+    cfg = cfg or LBFGSConfig(line_search="backtracking")
+    cfg = cfg.replace(max_iters=iters, tol=0.0)
+    per_seed = []
+    r = None
+    for seed in seeds:
+        x0 = np.asarray(_x0(problem, d, seed, jnp.float64))
+        t0 = time.perf_counter()
+        r = native_lbfgs(problem, x0, cfg)
+        per_seed.append(time.perf_counter() - t0)
+    wall = float(np.mean(per_seed))
+    return BenchResult(
+        name=f"cpu-native/{problem}/d={d}/{cfg.line_search}",
+        iters_per_s=iters / wall, wall_s=wall, iterations=iters,
+        final_f=r["f"], final_g_norm=r["g_norm"],
+        details={"per_seed_s": per_seed, "n_fev": r["n_fev"],
+                 "n_gev": r["n_gev"]})
+
+
+def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
+                      tol: float = 1e-5, max_iters: int = 20000,
+                      cfg: Optional[LBFGSConfig] = None,
+                      dtype=jnp.float32, seed: int = 42) -> dict:
+    """Wall time to ||g|| <= tol (BASELINE.json north-star companion metric)."""
+    cfg = cfg or LBFGSConfig(line_search="backtracking", direction="compact")
+    cfg = cfg.replace(max_iters=max_iters, tol=tol)
+    p = get_problem(problem)
+    vg = make_value_and_grad(p.f, p.grad)
+
+    @jax.jit
+    def run(x0):
+        state = init_state(vg, x0, cfg.m)
+        return solve_from_state(cfg, p.f, vg, state)
+
+    x0 = _x0(problem, d, seed, dtype)
+    out = run(x0)
+    float(out.f)
+    t0 = time.perf_counter()
+    out = run(x0)
+    float(out.f)                            # scalar fetch = end-to-end fence
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "iterations": int(out.iterations),
+            "status": int(out.status), "g_norm": float(out.g_norm),
+            "f": float(out.f)}

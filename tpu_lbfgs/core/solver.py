@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from ..config import LBFGSConfig
+from ..kernels import iteration_tail
 from ..linesearch.strategies import get_line_search
 from ..types import LBFGSState, SolveResult, Status, Trace
 from .direction import compute_direction
@@ -96,10 +97,10 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     failed = alpha < cfg.step_fail_tol
 
     # --- curvature pair, fused scalars (lbfgs.cpp:174-181) -------------------
-    s = x_new - x
-    y = g_new - g
-    sy = jnp.vdot(s, y)
-    yy = jnp.vdot(y, y)
+    # One fused pass computes s, y and all three reductions (and re-derives
+    # x_new without reading it back) when the Pallas path is enabled.
+    x_new, s, y, sy, yy, gg_new = iteration_tail(
+        x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)
@@ -113,7 +114,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     # --- advance (freeze x/g/f on line-search failure: the reference returns
     # the pre-step iterate, lbfgs.cpp:167) ------------------------------------
-    g_norm_new = jnp.sqrt(jnp.vdot(g_new, g_new))
+    g_norm_new = jnp.sqrt(gg_new)
     return LBFGSState(
         x=jnp.where(failed, x, x_new),
         f=jnp.where(failed, state.f, f_new),

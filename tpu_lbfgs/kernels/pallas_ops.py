@@ -1,0 +1,437 @@
+"""Pallas TPU kernels for the solver's hot memory-bound chains.
+
+Reference counterparts (SURVEY.md §2 native-code census): the CUDA
+element-wise kernels updateVectors/negateVector/updateSolution/scaleByRho
+(L-BFGS.cu:19-73), the shared-memory reduction computeDotProduct
+(L-BFGS-Backtracking.cu:117-137), and the cuBLAS Ddot/Daxpy calls
+(L-BFGS.cu:219-274).  The reference launches each as a separate kernel with a
+host sync per dot product; here each chain is ONE guaranteed single pass over
+HBM with reductions accumulated on-chip (SMEM scratch persists across the
+sequentially-executed grid steps) — no intermediate materialization, no host
+involvement.
+
+Kernel inventory:
+  fused_vg_*          objective value AND analytic gradient in one read of x.
+                      Rosenbrock/coupled-quadratic need x[i-1] and x[i+1]:
+                      x[i-1] comes from a carry scalar (previous grid step's
+                      last element, kept in SMEM), x[i+1] from an in-block
+                      flattened shift plus a 1-row halo DMA of the next block.
+  iteration_tail      x_new = x + alpha*d, s = alpha*d, y = g_new - g, and the
+                      reductions s.y, y.y, ||g_new||^2 in one pass
+  combine_direction   r = gamma*g + v@S - gamma*(u@Y): the compact
+                      representation's second history pass as one stream
+
+Every kernel has a jnp fallback with identical semantics (tests compare
+them); dispatch is cfg.use_pallas + shape eligibility (f32, d % 128 == 0).
+f64 callers always take the jnp path (TPU f64 is emulated; parity tests pin
+fp64 to jnp).
+
+Layout: vectors (d,) are viewed as (R, 128); the grid walks row-blocks.
+Wrappers zero-pad R to a block multiple; padded elements are masked out of
+every reduction and gradient by a global-index validity test.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 512        # 512*128*4B = 256 KiB per streamed buffer
+COMBINE_ROWS = 128      # smaller blocks: (m, rows, 128) history tiles x2
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_rows(v2d: Array, br: int) -> Array:
+    pad = (-v2d.shape[0]) % br
+    return jnp.pad(v2d, ((0, pad), (0, 0))) if pad else v2d
+
+
+def _as2d(v: Array) -> Array:
+    return v.reshape(-1, LANES)
+
+
+def pallas_ok(*arrays: Array) -> bool:
+    """Static eligibility: f32, 1-D-viewable, d divisible by the lane width."""
+    return all(a.dtype == jnp.float32 and (a.shape[-1] % LANES == 0)
+               for a in arrays)
+
+
+# -----------------------------------------------------------------------------
+# iteration_tail
+# -----------------------------------------------------------------------------
+
+def _iteration_tail_kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
+                           xnew_ref, s_ref, y_ref, sy_ref, yy_ref, gg_ref,
+                           acc_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[0] = 0.0  # s.y
+        acc_ref[1] = 0.0  # y.y
+        acc_ref[2] = 0.0  # g_new.g_new
+
+    alpha = alpha_ref[0]
+    s = alpha * d_ref[:]
+    y = gn_ref[:] - g_ref[:]
+    xnew_ref[:] = x_ref[:] + s
+    s_ref[:] = s
+    y_ref[:] = y
+    acc_ref[0] += jnp.sum(s * y)
+    acc_ref[1] += jnp.sum(y * y)
+    acc_ref[2] += jnp.sum(gn_ref[:] * gn_ref[:])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        sy_ref[0, 0] = acc_ref[0]
+        yy_ref[0, 0] = acc_ref[1]
+        gg_ref[0, 0] = acc_ref[2]
+
+
+def _iteration_tail_pallas(x, d, alpha, g, g_new):
+    dd = x.shape[0]
+    x2, d2, g2, gn2 = (_pad_rows(_as2d(v), BLOCK_ROWS)
+                       for v in (x, d, g, g_new))
+    rows = x2.shape[0]
+    blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+
+    xnew, s, y, sy, yy, gg = pl.pallas_call(
+        _iteration_tail_kernel,
+        grid=(rows // BLOCK_ROWS,),
+        in_specs=[scal, blk, blk, blk, blk],
+        out_specs=(blk, blk, blk, out_scal, out_scal, out_scal),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), f32),
+            jax.ShapeDtypeStruct((rows, LANES), f32),
+            jax.ShapeDtypeStruct((rows, LANES), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        scratch_shapes=[pltpu.SMEM((3,), f32)],
+        interpret=_interpret(),
+    )(jnp.reshape(alpha.astype(f32), (1,)), x2, d2, g2, gn2)
+
+    unpad = lambda v: v.reshape(-1)[:dd]
+    return (unpad(xnew), unpad(s), unpad(y), sy[0, 0], yy[0, 0], gg[0, 0])
+
+
+def _iteration_tail_jnp(x, d, alpha, g, g_new):
+    s = alpha * d
+    y = g_new - g
+    return (x + s, s, y, jnp.vdot(s, y), jnp.vdot(y, y),
+            jnp.vdot(g_new, g_new))
+
+
+def iteration_tail(x: Array, d: Array, alpha: Array, g: Array, g_new: Array,
+                   use_pallas: bool = True):
+    """(x_new, s, y, s.y, y.y, ||g_new||^2) in one HBM pass.
+
+    Replaces the reference's updateSolution + updateVectors kernels plus
+    three separate cuBLAS Ddots (L-BFGS.cu:55-63,19-31,219-244,345-348)."""
+    if use_pallas and pallas_ok(x, d, g, g_new):
+        return _iteration_tail_pallas(x, d, alpha, g, g_new)
+    return _iteration_tail_jnp(x, d, alpha, g, g_new)
+
+
+# -----------------------------------------------------------------------------
+# combine_direction: r = gamma*g + v @ S - gamma * (u @ Y)
+# -----------------------------------------------------------------------------
+
+def _combine_kernel(gamma_ref, v_ref, u_ref, g_ref, s_ref, y_ref, r_ref):
+    gamma = gamma_ref[0]
+    acc = gamma * g_ref[:]
+    for k in range(s_ref.shape[0]):  # m is small & static: unrolled FMA chain
+        acc = acc + v_ref[k] * s_ref[k] - (gamma * u_ref[k]) * y_ref[k]
+    r_ref[:] = acc
+
+
+def _combine_rows(m: int) -> int:
+    """Block rows sized so both (m, rows, 128) history tiles fit in ~8 MiB of
+    VMEM with double buffering."""
+    budget = 8 * 1024 * 1024
+    rows = budget // (m * LANES * 4 * 4)
+    return max(64, min(1024, (rows // 64) * 64))
+
+
+def _combine_pallas(g, s_hist, y_hist, v, u, gamma):
+    dd = g.shape[0]
+    m = s_hist.shape[0]
+    COMBINE_ROWS = _combine_rows(m)
+    g2 = _pad_rows(_as2d(g), COMBINE_ROWS)
+    rows = g2.shape[0]
+    s3 = s_hist.reshape(m, -1, LANES)
+    y3 = y_hist.reshape(m, -1, LANES)
+    pad = rows - s3.shape[1]
+    if pad:
+        s3 = jnp.pad(s3, ((0, 0), (0, pad), (0, 0)))
+        y3 = jnp.pad(y3, ((0, 0), (0, pad), (0, 0)))
+    blk = pl.BlockSpec((COMBINE_ROWS, LANES), lambda j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    hist_blk = pl.BlockSpec((m, COMBINE_ROWS, LANES), lambda j: (0, j, 0),
+                            memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+
+    r = pl.pallas_call(
+        _combine_kernel,
+        grid=(rows // COMBINE_ROWS,),
+        in_specs=[scal, scal, scal, blk, hist_blk, hist_blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), f32),
+        interpret=_interpret(),
+    )(jnp.reshape(gamma.astype(f32), (1,)), v.astype(f32), u.astype(f32),
+      g2, s3, y3)
+    return r.reshape(-1)[:dd]
+
+
+def _combine_jnp(g, s_hist, y_hist, v, u, gamma):
+    return gamma * g + v @ s_hist - gamma * (u @ y_hist)
+
+
+def combine_direction(g: Array, s_hist: Array, y_hist: Array, v: Array,
+                      u: Array, gamma: Array, use_pallas: bool = True):
+    """The compact representation's second pass over the history as one
+    stream (SURVEY.md §7 layer 6 item b)."""
+    if use_pallas and pallas_ok(g, s_hist, y_hist):
+        return _combine_pallas(g, s_hist, y_hist, v, u, gamma)
+    return _combine_jnp(g, s_hist, y_hist, v, u, gamma)
+
+
+# -----------------------------------------------------------------------------
+# fused value-and-grad kernels for the problem suite
+# -----------------------------------------------------------------------------
+# Chain-structured objectives need x[i+1] (forward halo: in-block flattened
+# shift + the next block's first element, DMA'd as a 1-row halo) and x[i-1]
+# (backward halo: the previous grid step's last element, carried in SMEM).
+
+def _roll(blk: Array, shift: int, axis: int) -> Array:
+    # pltpu.roll has no interpret-mode lowering; jnp.roll is equivalent and
+    # Mosaic lowers it fine (unlike lane-dim concat/slice, which trips
+    # VectorLayout inference).
+    return jnp.roll(blk, shift, axis)
+
+
+def _shift_left(blk: Array, next_first: Array) -> Array:
+    """x[i+1] for each flattened element of a (BR, 128) block; the element
+    after the block's last is ``next_first``.  Built from whole-array rolls +
+    masked selects only — lane-dim slicing/concat breaks Mosaic layout
+    inference."""
+    br = blk.shape[0]
+    rolled_l = _roll(blk, -1, 1)          # (r, c) <- (r, c+1 mod 128)
+    rolled_u = _roll(blk, -1, 0)          # (r, c) <- (r+1 mod br, c)
+    wrap_col = _roll(rolled_u, -1, 1)     # (r, 127) <- blk[r+1, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+    out = jnp.where(col < LANES - 1, rolled_l, wrap_col)
+    is_last = (col == LANES - 1) & (row == br - 1)
+    return jnp.where(is_last, next_first, out)
+
+
+def _shift_right(blk: Array, prev_last: Array) -> Array:
+    """x[i-1] for each flattened element of a (BR, 128) block; the element
+    before the block's first is ``prev_last``."""
+    br = blk.shape[0]
+    rolled_r = _roll(blk, 1, 1)           # (r, c) <- (r, c-1 mod 128)
+    rolled_d = _roll(blk, 1, 0)           # (r, c) <- (r-1 mod br, c)
+    wrap_col = _roll(rolled_d, 1, 1)      # (r, 0) <- blk[r-1, 127]
+    col = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+    out = jnp.where(col > 0, rolled_r, wrap_col)
+    is_first = (col == 0) & (row == 0)
+    return jnp.where(is_first, prev_last, out)
+
+
+def _global_index(j, shape):
+    br, lanes = shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
+    return (j * br + row) * lanes + col
+
+
+def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[0] = 0.0
+
+    valid = _global_index(j, x_ref.shape) < n_ref[0]
+    r = jnp.where(valid, x_ref[:] - 1.0, 0.0)
+    acc_ref[0] += jnp.sum(r * r)
+    g_ref[:] = 2.0 * r
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        f_ref[0, 0] = acc_ref[0]
+
+
+def _vg_rosenbrock_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[0] = 0.0   # f accumulator
+        acc_ref[1] = 0.0   # carry: previous block's last element
+
+    x = x_ref[:]
+    gidx = _global_index(j, x.shape)
+    n = n_ref[0]
+    is_term = gidx < (n - 1)            # owns forward term i
+    is_valid = gidx < n
+
+    xn = _shift_left(x, halo_ref[0, 0])
+    t = jnp.where(is_term, xn - x * x, 0.0)
+    one_minus = jnp.where(is_term, 1.0 - x, 0.0)
+    acc_ref[0] += jnp.sum(100.0 * t * t + one_minus * one_minus)
+
+    xp = _shift_right(x, acc_ref[1])
+    # Inbound contribution from term i-1: 200*(x[i] - x[i-1]^2), present when
+    # 1 <= i <= n-1.
+    t_prev = jnp.where((gidx >= 1) & is_valid, x - xp * xp, 0.0)
+    g_ref[:] = jnp.where(is_term, 2.0 * (x - 1.0) - 400.0 * x * t, 0.0) \
+        + 200.0 * t_prev
+    acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        f_ref[0, 0] = acc_ref[0]
+
+
+def _vg_coupled_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
+    coeff = 1000.0
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[0] = 0.0
+        acc_ref[1] = 0.0
+
+    x = x_ref[:]
+    gidx = _global_index(j, x.shape)
+    n = n_ref[0]
+    is_term = gidx < (n - 1)
+    is_valid = gidx < n
+
+    xn = _shift_left(x, halo_ref[0, 0])
+    xv = jnp.where(is_valid, x, 0.0)
+    cross = jnp.where(is_term, x * xn, 0.0)
+    acc_ref[0] += coeff * jnp.sum(xv * xv) + (coeff / 10.0) * jnp.sum(cross)
+
+    xp = _shift_right(x, acc_ref[1])
+    g_ref[:] = 2.0 * coeff * xv \
+        + jnp.where(is_term, (coeff / 10.0) * xn, 0.0) \
+        + jnp.where((gidx >= 1) & is_valid, (coeff / 10.0) * xp, 0.0)
+    acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        f_ref[0, 0] = acc_ref[0]
+
+
+def _run_vg(kernel, x: Array, needs_halo: bool) -> Tuple[Array, Array]:
+    dd = x.shape[0]
+    x2 = _pad_rows(_as2d(x), BLOCK_ROWS)
+    rows = x2.shape[0]
+    grid = rows // BLOCK_ROWS
+    blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+
+    in_specs = [scal, blk]
+    args = [jnp.asarray([dd], jnp.int32), x2]
+    if needs_halo:
+        # First rows of the NEXT block: an 8-row (4 KiB) halo DMA per grid
+        # step — TPU lowering requires >= (8, 128) blocks.  The kernel only
+        # reads element [0, 0]; clamped at the final block, where the halo
+        # value is masked out anyway.
+        halo_blocks = BLOCK_ROWS // 8
+        last_halo = rows // 8 - 1
+        halo = pl.BlockSpec(
+            (8, LANES),
+            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
+            memory_space=pltpu.VMEM)
+        in_specs.append(halo)
+        args.append(x2)
+
+    f, g = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(out_scal, blk),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), f32),
+                   jax.ShapeDtypeStruct((rows, LANES), f32)),
+        scratch_shapes=[pltpu.SMEM((2,), f32)],
+        interpret=_interpret(),
+    )(*args)
+    return f[0, 0], g.reshape(-1)[:dd]
+
+
+def fused_vg_quadratic(x: Array, use_pallas: bool = True):
+    if use_pallas and pallas_ok(x):
+        dd = x.shape[0]
+        x2 = _pad_rows(_as2d(x), BLOCK_ROWS)
+        rows = x2.shape[0]
+        blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+                           memory_space=pltpu.VMEM)
+        scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        f, g = pl.pallas_call(
+            _vg_quadratic_kernel,
+            grid=(rows // BLOCK_ROWS,),
+            in_specs=[scal, blk],
+            out_specs=(out_scal, blk),
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+            interpret=_interpret(),
+        )(jnp.asarray([dd], jnp.int32), x2)
+        return f[0, 0], g.reshape(-1)[:dd]
+    r = x - 1.0
+    return jnp.sum(r * r), 2.0 * r
+
+
+def fused_vg_rosenbrock(x: Array, use_pallas: bool = True):
+    if use_pallas and pallas_ok(x):
+        return _run_vg(_vg_rosenbrock_kernel, x, needs_halo=True)
+    xi, xn = x[:-1], x[1:]
+    t1 = xn - xi * xi
+    t2 = 1.0 - xi
+    f = jnp.sum(100.0 * t1 * t1 + t2 * t2)
+    g = jnp.zeros_like(x)
+    g = g.at[:-1].add(2.0 * (xi - 1.0) - 400.0 * xi * t1)
+    g = g.at[1:].add(200.0 * t1)
+    return f, g
+
+
+def fused_vg_coupled_quadratic(x: Array, use_pallas: bool = True):
+    if use_pallas and pallas_ok(x):
+        return _run_vg(_vg_coupled_kernel, x, needs_halo=True)
+    coeff = 1000.0
+    f = coeff * jnp.sum(x * x) + (coeff / 10.0) * jnp.sum(x[:-1] * x[1:])
+    g = 2.0 * coeff * x
+    g = g.at[:-1].add((coeff / 10.0) * x[1:])
+    g = g.at[1:].add((coeff / 10.0) * x[:-1])
+    return f, g
+
+
+FUSED_VG = {
+    "quadratic": fused_vg_quadratic,
+    "rosenbrock": fused_vg_rosenbrock,
+    "coupled_quadratic": fused_vg_coupled_quadratic,
+}

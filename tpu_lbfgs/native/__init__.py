@@ -1,0 +1,1 @@
+from .binding import build, native_lbfgs, PROBLEM_IDS

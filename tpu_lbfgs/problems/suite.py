@@ -141,6 +141,19 @@ def register_problem(problem: Problem) -> None:
     _PROBLEMS[problem.name] = problem
 
 
+def fused_value_and_grad(name: str, use_pallas: bool = True):
+    """Objective + analytic gradient in one HBM pass via the Pallas kernels
+    (kernels/pallas_ops.py), with identical-semantics jnp fallback.  Pass the
+    result as ``value_and_grad=`` to minimize()/bench for the fastest path."""
+    from ..kernels import FUSED_VG
+
+    if name not in FUSED_VG:
+        p = get_problem(name)
+        return p.value_and_grad
+    fn = FUSED_VG[name]
+    return lambda x: fn(x, use_pallas=use_pallas)
+
+
 def reference_x0(d: int, seed: int, low: float = -1000.0, high: float = 1000.0,
                  dtype=jnp.float64) -> Array:
     """Starting point matching the reference driver's initialization.
