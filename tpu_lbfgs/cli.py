@@ -1,0 +1,147 @@
+"""Command-line driver: problem, dimension, strategy, dtype, mesh — no
+recompile-to-reconfigure.
+
+The reference configures by editing constexpr headers and recompiling, and
+selects the GPU line-search variant by which .cu file you hand to nvcc
+(SURVEY.md §5 config row; parallel-implementation/run.sh:2).  This CLI is the
+replacement: every reference knob is a flag.
+
+Examples:
+  python -m tpu_lbfgs --problem rosenbrock --dim 100000 --line-search wolfe_interpolation
+  python -m tpu_lbfgs --problem rosenbrock --dim 1048576 --dtype float32 --direction compact --pallas
+  python -m tpu_lbfgs --batch 4096 --dim 1000 --max-iters 500
+  python -m tpu_lbfgs --dim 1000000 --shard --tol 1e-4
+  python -m tpu_lbfgs --backend native --dim 10000        # C++ CPU oracle
+  python -m tpu_lbfgs --seeds 42 365 12345 777777 10000   # reference protocol
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tpu_lbfgs",
+        description="TPU-native L-BFGS solver (reference: ndzajic1/cuda-lbfgs)")
+    ap.add_argument("--problem", default="rosenbrock",
+                    help="rosenbrock | quadratic | coupled_quadratic | sphere")
+    ap.add_argument("--dim", type=int, default=100_000)
+    ap.add_argument("--line-search", default="backtracking",
+                    choices=["backtracking", "backtracking_wolfe",
+                             "backtracking_wolfe_bisect",
+                             "armijo_interpolation", "wolfe_interpolation"])
+    ap.add_argument("--direction", default="compact",
+                    choices=["two_loop", "compact"])
+    ap.add_argument("--fidelity", default="reference",
+                    choices=["reference", "fixed"])
+    ap.add_argument("-m", "--history", type=int, default=10)
+    ap.add_argument("--max-iters", type=int, default=1000)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--c1", type=float, default=1e-4)
+    ap.add_argument("--c2", type=float, default=0.9)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="enable the Pallas fused kernels (f32 only)")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42],
+                    help="x0 seeds; reference protocol: 42 365 12345 777777 10000")
+    ap.add_argument("--x0-range", type=float, default=2.0,
+                    help="x0 ~ U(-r, r); the reference driver uses 1000")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="solve N independent instances vmapped (0 = single)")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the vector over all devices (mesh on d axis)")
+    ap.add_argument("--backend", default="jax", choices=["jax", "native"],
+                    help="native = the C++ CPU oracle")
+    ap.add_argument("--trace", action="store_true",
+                    help="record per-iteration metrics (bounded scan)")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import LBFGSConfig, Status, get_problem, minimize
+    from .problems.suite import fused_value_and_grad
+
+    cfg = LBFGSConfig(
+        m=args.history, max_iters=args.max_iters, tol=args.tol,
+        line_search=args.line_search, direction=args.direction,
+        fidelity=args.fidelity, c1=args.c1, c2=args.c2,
+        use_pallas=args.pallas, record_trace=args.trace)
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    p = get_problem(args.problem)
+
+    results = []
+    for seed in args.seeds:
+        rng = np.random.default_rng(seed)
+        t0 = time.perf_counter()
+
+        if args.backend == "native":
+            from .native import native_lbfgs
+            x0 = rng.uniform(-args.x0_range, args.x0_range, args.dim)
+            r = native_lbfgs(args.problem, x0, cfg)
+            wall = time.perf_counter() - t0
+            rec = {"seed": seed, "status": r["status"],
+                   "iterations": r["iterations"], "f": r["f"],
+                   "g_norm": r["g_norm"], "n_fev": r["n_fev"],
+                   "n_gev": r["n_gev"], "wall_s": wall}
+        elif args.batch:
+            from .batch import vmap_minimize
+            x0s = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
+                                          (args.batch, args.dim)), dtype)
+            res = vmap_minimize(p.f, x0s, cfg, grad=p.grad)
+            wall = time.perf_counter() - t0
+            st = np.asarray(res.status)
+            rec = {"seed": seed, "batch": args.batch,
+                   "converged": int((st == Status.CONVERGED).sum()),
+                   "mean_iterations": float(np.mean(np.asarray(res.iterations))),
+                   "mean_f": float(np.mean(np.asarray(res.f))),
+                   "max_g_norm": float(np.max(np.asarray(res.g_norm))),
+                   "wall_s": wall}
+        else:
+            x0 = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
+                                         args.dim), dtype)
+            vg = (fused_value_and_grad(args.problem, use_pallas=True)
+                  if args.pallas else None)
+            if args.shard:
+                from .dist import make_mesh, sharded_minimize
+                res = sharded_minimize(p.f, x0, cfg, mesh=make_mesh(),
+                                       grad=None if vg else p.grad,
+                                       value_and_grad=vg)
+            else:
+                res = minimize(p.f, x0, cfg,
+                               grad=None if vg else p.grad,
+                               value_and_grad=vg)
+            wall = time.perf_counter() - t0
+            rec = {"seed": seed, "status": Status.NAMES[int(res.status)],
+                   "iterations": int(res.iterations), "f": float(res.f),
+                   "g_norm": float(res.g_norm), "n_fev": int(res.n_fev),
+                   "n_gev": int(res.n_gev), "wall_s": wall}
+        results.append(rec)
+        if not args.json:
+            print(f"seed {seed}: " + "  ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items() if k != "seed"))
+
+    if args.json:
+        print(json.dumps({"config": vars(args), "results": results}))
+    elif len(results) > 1:
+        walls = [r["wall_s"] for r in results]
+        print(f"mean wall over {len(results)} seeds: {np.mean(walls):.4f}s "
+              f"(protocol: cuda_lbfgs.pdf §IV, 5-run average)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
