@@ -57,12 +57,19 @@ def test_alpha_parity(strategy, fidelity):
     def vg(x):
         return p.f(x), p.grad(x)
 
-    run = jax.jit(lambda x, d, fx, g, gdd: ls_jax(cfg, p.f, vg, x, d, fx, g, gdd))
+    def run_impl(x, d, fx, gdd):
+        phi = lambda a: p.f(x + a * d)
+        def phi_dphi(a):
+            fv, gv = vg(x + a * d)
+            return fv, jnp.vdot(gv, d)
+        return ls_jax(cfg, phi, phi_dphi, fx, gdd)
+
+    run = jax.jit(run_impl)
 
     for x, d, fx, g, gdd in _cases():
         a_np = ls_np(cfg, f_np, g_np, x, d, fx, g, gdd)
         res = run(jnp.asarray(x), jnp.asarray(d), jnp.asarray(fx),
-                  jnp.asarray(g), jnp.asarray(gdd))
+                  jnp.asarray(gdd))
         a_jax = float(res.alpha)
         assert np.isclose(a_jax, a_np, rtol=1e-9, atol=1e-12), (
             f"{strategy}/{fidelity}: jax={a_jax} oracle={a_np}")
@@ -83,10 +90,14 @@ def test_reference_armijo_rule_differs_from_textbook():
     fx = f(x)
     g = 2 * x
     gdd = jnp.vdot(g, d)
+    phi = lambda a: f(x + a * d)
+    def phi_dphi(a):
+        fv, gv = vg(x + a * d)
+        return fv, jnp.vdot(gv, d)
     ref = get_line_search("backtracking")(
-        LBFGSConfig(fidelity="reference"), f, vg, x, d, fx, g, gdd)
+        LBFGSConfig(fidelity="reference"), phi, phi_dphi, fx, gdd)
     fixed = get_line_search("backtracking")(
-        LBFGSConfig(fidelity="fixed"), f, vg, x, d, fx, g, gdd)
+        LBFGSConfig(fidelity="fixed"), phi, phi_dphi, fx, gdd)
     assert float(ref.alpha) == 1.0
     assert float(fixed.alpha) < 1.0
 
@@ -105,7 +116,11 @@ def test_rescue_floor():
     g = jnp.asarray([-1.0])
     d = jnp.asarray([1.0])
     cfg = LBFGSConfig(fidelity="fixed", alpha_rescue_floor=1e-4)
-    res = get_line_search("backtracking")(cfg, f, vg, x, d, f(x), g,
+    phi = lambda a: f(x + a * d)
+    def phi_dphi(a):
+        fv, gv = vg(x + a * d)
+        return fv, jnp.vdot(gv, d)
+    res = get_line_search("backtracking")(cfg, phi, phi_dphi, f(x),
                                           jnp.vdot(g, d))
     assert float(res.alpha) == 0.5
 
@@ -120,7 +135,11 @@ def test_eval_counts_backtracking():
     g = p.grad(x)
     d = -g
     cfg = LBFGSConfig(fidelity="fixed")
-    res = get_line_search("backtracking")(cfg, p.f, vg, x, d, p.f(x), g,
+    phi = lambda a: p.f(x + a * d)
+    def phi_dphi(a):
+        fv, gv = vg(x + a * d)
+        return fv, jnp.vdot(gv, d)
+    res = get_line_search("backtracking")(cfg, phi, phi_dphi, p.f(x),
                                           jnp.vdot(g, d))
     # alpha=1 overshoots to the mirror point (f unchanged, textbook rejects);
     # alpha=0.5 lands exactly on the minimum: two trials.

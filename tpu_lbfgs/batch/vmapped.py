@@ -31,7 +31,8 @@ from ..types import SolveResult
 def vmap_minimize(f: Callable, x0_batch: Array,
                   cfg: LBFGSConfig = LBFGSConfig(),
                   grad=None, value_and_grad=None,
-                  problem_params: Optional[Array] = None) -> SolveResult:
+                  problem_params: Optional[Array] = None,
+                  dir_poly=None) -> SolveResult:
     """Solve B independent instances in lockstep on one chip.
 
     Args:
@@ -49,8 +50,9 @@ def vmap_minimize(f: Callable, x0_batch: Array,
             vgp = (lambda x: value_and_grad(x, params)) \
                 if value_and_grad is not None else None
             vg = make_value_and_grad(fp, gp, vgp)
+            dp = (lambda x, d: dir_poly(x, d, params)) if dir_poly else None
             state = init_state(vg, x0, cfg.m)
-            out = solve_from_state(cfg, fp, vg, state)
+            out = solve_from_state(cfg, fp, vg, state, dp)
             return _state_to_result(out, None)
 
         return jax.jit(jax.vmap(run_one))(jnp.asarray(x0_batch), problem_params)
@@ -59,7 +61,7 @@ def vmap_minimize(f: Callable, x0_batch: Array,
 
     def run_one(x0):
         state = init_state(vg, x0, cfg.m)
-        out = solve_from_state(cfg, f, vg, state)
+        out = solve_from_state(cfg, f, vg, state, dir_poly)
         return _state_to_result(out, None)
 
     return jax.jit(jax.vmap(run_one))(jnp.asarray(x0_batch))

@@ -66,11 +66,12 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
         vg = fused_value_and_grad(problem, use_pallas=True)
     else:
         vg = make_value_and_grad(p.f, p.grad)
+    dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
 
     @jax.jit
     def run(x0):
         state = init_state(vg, x0, cfg.m)
-        return solve_from_state(cfg, p.f, vg, state)
+        return solve_from_state(cfg, p.f, vg, state, dir_poly)
 
     def sync(out):
         # NOTE: on the axon remote backend, jax.block_until_ready over the
@@ -135,11 +136,12 @@ def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
     cfg = cfg.replace(max_iters=max_iters, tol=tol)
     p = get_problem(problem)
     vg = make_value_and_grad(p.f, p.grad)
+    dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
 
     @jax.jit
     def run(x0):
         state = init_state(vg, x0, cfg.m)
-        return solve_from_state(cfg, p.f, vg, state)
+        return solve_from_state(cfg, p.f, vg, state, dir_poly)
 
     x0 = _x0(problem, d, seed, dtype)
     out = run(x0)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["float32", "float64"])
     ap.add_argument("--pallas", action="store_true",
                     help="enable the Pallas fused kernels (f32 only)")
+    ap.add_argument("--poly-ls", action="store_true",
+                    help="polynomial directional line search: phi(alpha) in "
+                         "closed form, O(1) scalar trials, no in-search "
+                         "gradient evals")
     ap.add_argument("--seeds", type=int, nargs="+", default=[42],
                     help="x0 seeds; reference protocol: 42 365 12345 777777 10000")
     ap.add_argument("--x0-range", type=float, default=2.0,
@@ -76,7 +80,8 @@ def main(argv=None) -> int:
         m=args.history, max_iters=args.max_iters, tol=args.tol,
         line_search=args.line_search, direction=args.direction,
         fidelity=args.fidelity, c1=args.c1, c2=args.c2,
-        use_pallas=args.pallas, record_trace=args.trace)
+        use_pallas=args.pallas, record_trace=args.trace,
+        ls_eval="polynomial" if args.poly_ls else "direct")
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
@@ -114,15 +119,16 @@ def main(argv=None) -> int:
                                          args.dim), dtype)
             vg = (fused_value_and_grad(args.problem, use_pallas=True)
                   if args.pallas else None)
+            dir_poly = p.dir_poly if args.poly_ls else None
             if args.shard:
                 from .dist import make_mesh, sharded_minimize
                 res = sharded_minimize(p.f, x0, cfg, mesh=make_mesh(),
                                        grad=None if vg else p.grad,
-                                       value_and_grad=vg)
+                                       value_and_grad=vg, dir_poly=dir_poly)
             else:
                 res = minimize(p.f, x0, cfg,
                                grad=None if vg else p.grad,
-                               value_and_grad=vg)
+                               value_and_grad=vg, dir_poly=dir_poly)
             wall = time.perf_counter() - t0
             rec = {"seed": seed, "status": Status.NAMES[int(res.status)],
                    "iterations": int(res.iterations), "f": float(res.f),

@@ -111,6 +111,17 @@ class LBFGSConfig:
     # (lbfgs.cpp:164-168).
     step_fail_tol: float = 1e-10
 
+    # How line searches evaluate phi(alpha) = f(x + alpha*d):
+    #   "direct"     — evaluate f (and grad for Wolfe) at each trial point;
+    #                  exact reference semantics.
+    #   "polynomial" — expand phi as a closed-form polynomial in alpha whose
+    #                  coefficients are fused reductions over (x, d) computed
+    #                  ONCE per line search (Problem.dir_poly required); every
+    #                  trial is then O(1) scalar work and phi' is exact with
+    #                  zero gradient evaluations.  Mathematically identical,
+    #                  fp-tolerance parity.
+    ls_eval: str = "direct"
+
     # --- execution -------------------------------------------------------------
     # Use Pallas fused kernels where available (f32 only); falls back to jnp.
     use_pallas: bool = False
@@ -132,6 +143,10 @@ class LBFGSConfig:
             raise ValueError(
                 f"unknown fidelity {self.fidelity!r}; expected one of {FIDELITY_MODES}"
             )
+        if self.ls_eval not in ("direct", "polynomial"):
+            raise ValueError(
+                f"unknown ls_eval {self.ls_eval!r}; expected 'direct' or "
+                "'polynomial'")
         if self.m <= 0:
             raise ValueError("history depth m must be positive")
 

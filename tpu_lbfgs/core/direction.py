@@ -120,16 +120,19 @@ def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
     dtype = g.dtype
     slots, valid = _ring_logical_slots(state.n_pairs, m)
 
-    # --- one fused pass over the history: [S; Y] @ [Y^T | g] -----------------
-    # A: (2m, d), B: (d, m+1)  ->  (2m, m+1) giving  [S Y^T | S g]
-    #                                                [Y Y^T | Y g]
-    A = jnp.concatenate([state.s_hist, state.y_hist], axis=0)
-    B = jnp.concatenate([state.y_hist.T, g[:, None]], axis=1)
-    prod = jnp.matmul(A, B, preferred_element_type=dtype)
-    SY_p = prod[:m, :m]            # physical-order S_i . y_j
-    YY_p = prod[m:, :m]
-    Sg_p = prod[:m, m]
-    Yg_p = prod[m:, m]
+    # --- first pass over the history: all (m, m) / (m,) products -------------
+    # Expressed as d-axis contractions directly on the (m, d) buffers — no
+    # concatenated (2m, d) copy and no materialized Y^T (an (m, d) transpose
+    # copy per iteration); XLA shares the S/Y streams across the four
+    # contractions.  Under d-axis sharding this whole group is ONE fused
+    # all-reduce of ~(2m+2)m scalars.
+    dn_mm = (((1,), (1,)), ((), ()))   # (m,d) x (m,d) -> (m,m) over d
+    SY_p = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
+                               preferred_element_type=dtype)
+    YY_p = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
+                               preferred_element_type=dtype)
+    Sg_p = state.s_hist @ g
+    Yg_p = state.y_hist @ g
 
     # --- permute the small quantities into logical (chronological) order -----
     SY = SY_p[slots][:, slots]

@@ -73,8 +73,56 @@ def init_state(vg: ValGradFn, x0: Array, m: int) -> LBFGSState:
     )
 
 
+def _polyval(coeffs: Array, a: Array) -> Array:
+    """Horner evaluation, ascending coefficients, static degree."""
+    n = coeffs.shape[0]
+    acc = coeffs[n - 1]
+    for k in range(n - 2, -1, -1):
+        acc = acc * a + coeffs[k]
+    return acc
+
+
+def _polyder(coeffs: Array) -> Array:
+    n = coeffs.shape[0]
+    return coeffs[1:] * jnp.arange(1, n, dtype=coeffs.dtype)
+
+
+def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
+             dir_poly=None):
+    """Build the 1-D line-search interface phi / phi_dphi.
+
+    "direct": each trial streams the full vector (trial point fused into the
+    objective by XLA).  "polynomial": one fused pass over (x, d) yields the
+    phi coefficients; trials are scalar Horner evaluations and phi' is the
+    exact derivative polynomial — no gradient evaluations inside the search.
+    """
+    if cfg.ls_eval == "polynomial":
+        if dir_poly is None:
+            raise ValueError("ls_eval='polynomial' requires dir_poly "
+                             "(see Problem.dir_poly)")
+        coeffs = dir_poly(x, d)
+        dcoeffs = _polyder(coeffs)
+
+        def phi(a):
+            return _polyval(coeffs, a)
+
+        def phi_dphi(a):
+            return _polyval(coeffs, a), _polyval(dcoeffs, a)
+
+        return phi, phi_dphi
+
+    def phi(a):
+        return f(x + a * d)
+
+    def phi_dphi(a):
+        f_new, g_new = vg(x + a * d)
+        return f_new, jnp.vdot(g_new, d)
+
+    return phi, phi_dphi
+
+
 def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-            state: LBFGSState) -> LBFGSState:
+            state: LBFGSState, dir_poly=None) -> LBFGSState:
     """One unconditional L-BFGS iteration (assumes status == RUNNING)."""
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
@@ -87,8 +135,9 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)
 
     # --- line search ----------------------------------------------------------
+    phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly)
     line_search = get_line_search(cfg.line_search)
-    ls = line_search(cfg, f, vg, x, d, state.f, g, g_dot_d)
+    ls = line_search(cfg, phi, phi_dphi, state.f, g_dot_d)
     alpha = ls.alpha
 
     # --- trial point & failure bail (lbfgs.cpp:159-168) ----------------------
@@ -131,8 +180,13 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         alpha=alpha,
         # The reference evaluates f once more after the search (lbfgs.cpp:161)
         # and grad once (lbfgs.cpp:171); our fused vg counts one of each.
-        n_fev=state.n_fev + ls.n_fev + 1,
-        n_gev=state.n_gev + ls.n_gev + 1,
+        # In polynomial mode the search's trials are O(1) scalar evaluations,
+        # not objective/gradient evaluations — only the single dir_poly
+        # coefficient pass (~1 f-eval of memory traffic) is charged.
+        n_fev=state.n_fev + 1
+        + (ls.n_fev if cfg.ls_eval == "direct" else 1),
+        n_gev=state.n_gev + 1
+        + (ls.n_gev if cfg.ls_eval == "direct" else 0),
     )
 
 
@@ -150,24 +204,27 @@ def _running(cfg: LBFGSConfig, state: LBFGSState) -> Array:
 
 
 def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-                     state: LBFGSState) -> LBFGSState:
+                     state: LBFGSState, dir_poly=None) -> LBFGSState:
     """Run the while_loop from an arbitrary state (also used for resume from
     checkpoint).  Returns the terminal state with status finalized."""
     if cfg.record_trace:
-        return _solve_traced(cfg, f, vg, state)[0]
-    out = lax.while_loop(partial(_running, cfg), partial(iterate, cfg, f, vg),
-                         state)
+        return _solve_traced(cfg, f, vg, state, dir_poly)[0]
+    out = lax.while_loop(
+        partial(_running, cfg),
+        lambda s: iterate(cfg, f, vg, s, dir_poly), state)
     return out._replace(status=_finalize_status(cfg, out))
 
 
 def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-                  state: LBFGSState) -> Tuple[LBFGSState, Trace]:
+                  state: LBFGSState,
+                  dir_poly=None) -> Tuple[LBFGSState, Trace]:
     """Bounded lax.scan variant that records per-iteration metrics — the
     device-side replacement for the reference's per-iteration host logging
     (lbfgs.cpp:76-78), which forces a sync every step."""
 
     def body(s: LBFGSState, _):
-        s_next = lax.cond(_running(cfg, s), partial(iterate, cfg, f, vg),
+        s_next = lax.cond(_running(cfg, s),
+                          lambda t: iterate(cfg, f, vg, t, dir_poly),
                           lambda t: t, s)
         emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev, s_next.n_gev)
         return s_next, emit
@@ -196,10 +253,13 @@ def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
 
 
 def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
-             grad=None, value_and_grad=None) -> SolveResult:
+             grad=None, value_and_grad=None, dir_poly=None) -> SolveResult:
     """Jit-compiled single-instance solve.  The public entry point matching
     the reference's ``LBFGS(f, grad, x0, line_search_method, ...)``
     (lbfgs.cpp:17-25) — but returning a structured result instead of printing.
+
+    dir_poly: optional directional-polynomial coefficients fn for
+    cfg.ls_eval="polynomial" (see problems.suite.Problem.dir_poly).
     """
     vg = make_value_and_grad(f, grad, value_and_grad)
 
@@ -207,9 +267,9 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
     def run(x0):
         state = init_state(vg, x0, cfg.m)
         if cfg.record_trace:
-            out, trace = _solve_traced(cfg, f, vg, state)
+            out, trace = _solve_traced(cfg, f, vg, state, dir_poly)
             return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state)
+        out = solve_from_state(cfg, f, vg, state, dir_poly)
         return _state_to_result(out, None)
 
     return run(jnp.asarray(x0))

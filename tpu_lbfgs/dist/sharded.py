@@ -55,7 +55,8 @@ def _pad_for_mesh(f, vg, x0, n_shards: int):
 
 def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
                      mesh: Optional[Mesh] = None, grad=None,
-                     value_and_grad=None, d_axis: str = "d") -> SolveResult:
+                     value_and_grad=None, d_axis: str = "d",
+                     dir_poly=None) -> SolveResult:
     """Single-instance solve with x, g, and the (m, d) history sharded on the
     vector axis across the mesh.  Dimensions not divisible by the mesh are
     transparently zero-padded (exactly equivalent — see _pad_for_mesh)."""
@@ -79,9 +80,9 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(state):
         if cfg.record_trace:
-            out, trace = _solve_traced(cfg, f, vg, state)
+            out, trace = _solve_traced(cfg, f, vg, state, dir_poly)
             return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state)
+        out = solve_from_state(cfg, f, vg, state, dir_poly)
         return _state_to_result(out, None)
 
     res = run(make_state(x0))

@@ -54,9 +54,17 @@ from .interpolate import (
     safe_cubic_interpolate,
 )
 
-# f: x -> scalar; vg: x -> (scalar, grad)
-ObjFn = Callable[[Array], Array]
-ValGradFn = Callable[[Array], Tuple[Array, Array]]
+# The searches are purely one-dimensional: they see the objective only
+# through phi(alpha) = f(x + alpha*d) and phi_dphi(alpha) = (phi, phi'),
+# where phi'(alpha) = grad f(x + alpha*d) . d.  The solver provides either
+# direct evaluations (exact reference semantics, cfg.ls_eval = "direct") or
+# closed-form directional-polynomial coefficients computed in one fused pass
+# over (x, d) (cfg.ls_eval = "polynomial"; problems.suite dir_poly) — then
+# every trial is O(1) scalar work and the Wolfe searches need no gradient
+# evaluations at all, something the reference's host-round-trip design could
+# never do (L-BFGS-Backtracking.cu:322-327).
+PhiFn = Callable[[Array], Array]
+PhiDphiFn = Callable[[Array], Tuple[Array, Array]]
 
 
 def _i32(v) -> Array:
@@ -84,11 +92,11 @@ def _armijo_accept(cfg: LBFGSConfig, f_x, f_new, alpha, g_dot_d) -> Array:
 # 1. Armijo backtracking
 # -----------------------------------------------------------------------------
 
-def backtracking(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
-                 f_x: Array, g: Array, g_dot_d: Array) -> LineSearchResult:
+def backtracking(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
+                 f_x: Array, g_dot_d: Array) -> LineSearchResult:
     """C++ control flow: test alpha; accept -> exit; else alpha *= shrink and
     exit untested once alpha underflows backtracking_tol."""
-    del vg, g
+    del phi_dphi
     dtype = f_x.dtype
     alpha0 = jnp.asarray(cfg.initial_step, dtype)
 
@@ -98,7 +106,7 @@ def backtracking(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
 
     def body(carry):
         alpha, _, _, n_fev = carry
-        f_new = f(x + alpha * d)
+        f_new = phi(alpha)
         accept = _armijo_accept(cfg, f_x, f_new, alpha, g_dot_d)
         alpha_next = jnp.where(accept, alpha, alpha * cfg.shrink)
         broke = ~accept & (alpha_next < cfg.backtracking_tol)
@@ -113,13 +121,12 @@ def backtracking(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
 # 2. Backtracking-Wolfe (multiplicative shrink/grow)
 # -----------------------------------------------------------------------------
 
-def backtracking_wolfe(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
-                       d: Array, f_x: Array, g: Array,
-                       g_dot_d: Array) -> LineSearchResult:
+def backtracking_wolfe(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
+                       f_x: Array, g_dot_d: Array) -> LineSearchResult:
     """Armijo fail -> alpha *= shrink; curvature fail -> alpha *= grow; the
     reference loop has no iteration cap (line_search.cpp:39-52), so a safety
     cap (cfg.ls_safety_cap) bounds the jitted loop."""
-    del g
+    del phi
     dtype = f_x.dtype
     alpha0 = jnp.asarray(cfg.initial_step, dtype)
 
@@ -129,9 +136,9 @@ def backtracking_wolfe(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
 
     def body(carry):
         alpha, _, it, n_fev, n_gev = carry
-        f_new, g_new = vg(x + alpha * d)
+        f_new, dphi_new = phi_dphi(alpha)
         armijo_fail = f_new > f_x + cfg.c1 * alpha * g_dot_d
-        curv_fail = jnp.vdot(g_new, d) < cfg.c2 * g_dot_d
+        curv_fail = dphi_new < cfg.c2 * g_dot_d
         alpha_next = jnp.where(
             armijo_fail, alpha * cfg.shrink,
             jnp.where(curv_fail, alpha * cfg.grow, alpha))
@@ -148,8 +155,8 @@ def backtracking_wolfe(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
 # 3. Backtracking-Wolfe via bisection (the parallel implementation's variant)
 # -----------------------------------------------------------------------------
 
-def backtracking_wolfe_bisect(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-                              x: Array, d: Array, f_x: Array, g: Array,
+def backtracking_wolfe_bisect(cfg: LBFGSConfig, phi: PhiFn,
+                              phi_dphi: PhiDphiFn, f_x: Array,
                               g_dot_d: Array) -> LineSearchResult:
     """Bisection on [alpha_lo, alpha_hi]; doubles while no upper bound exists.
 
@@ -157,7 +164,7 @@ def backtracking_wolfe_bisect(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     constants.h sets 0.7 (parallel line_search.cpp:54 — SURVEY.md fidelity
     trap 3); pass cfg.c2 = 0.9 for exact parity with that code path.
     """
-    del g
+    del phi
     dtype = f_x.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
@@ -167,9 +174,8 @@ def backtracking_wolfe_bisect(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     def body(carry):
         alpha, lo, hi, _, it, n_fev, n_gev = carry
-        f_new, g_new = vg(x + alpha * d)
+        f_new, gnd = phi_dphi(alpha)
         armijo_ok = f_new <= f_x + cfg.c1 * alpha * g_dot_d
-        gnd = jnp.vdot(g_new, d)
         curv_ok = gnd >= cfg.c2 * g_dot_d
         accepted = armijo_ok & curv_ok
         lo = jnp.where(armijo_ok & ~curv_ok, alpha, lo)
@@ -194,10 +200,9 @@ def backtracking_wolfe_bisect(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 # 4. Armijo with quadratic-then-cubic interpolation
 # -----------------------------------------------------------------------------
 
-def armijo_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
-                         d: Array, f_x: Array, g: Array,
-                         g_dot_d: Array) -> LineSearchResult:
-    del vg, g
+def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
+                         f_x: Array, g_dot_d: Array) -> LineSearchResult:
+    del phi_dphi
     dtype = f_x.dtype
     alpha0 = jnp.asarray(cfg.initial_step, dtype)
 
@@ -207,7 +212,7 @@ def armijo_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
 
     def body(carry):
         alpha, alpha_prev, f_prev, _, result, it, n_fev = carry
-        f_new = f(x + alpha * d)
+        f_new = phi(alpha)
         accept = f_new <= f_x + cfg.c1 * alpha * g_dot_d
         floor_hit = ~accept & (alpha < cfg.interp_min)
 
@@ -260,10 +265,8 @@ def armijo_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
 # 5. Strong-Wolfe with cubic interpolation (zoom)
 # -----------------------------------------------------------------------------
 
-def wolfe_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
-                        d: Array, f_x: Array, g: Array,
-                        g_dot_d: Array) -> LineSearchResult:
-    del f, g
+def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
+                        f_x: Array, g_dot_d: Array) -> LineSearchResult:
     dtype = f_x.dtype
     interp = safe_cubic_interpolate if cfg.safe_cubic else cubic_interpolate
     inf = jnp.asarray(jnp.inf, dtype)
@@ -273,14 +276,12 @@ def wolfe_interpolation(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array,
 
     def body(carry):
         (alpha, lo, hi, f_lo, dphi_lo, _, result, it, n_fev, n_gev) = carry
-        f_new, g_new = vg(x + alpha * d)
+        f_new, dphi_new = phi_dphi(alpha)
         # Branch 1: Armijo violated, or not an improvement over the lo point.
         branch1 = (f_new > f_x + cfg.c1 * alpha * g_dot_d) | \
                   ((f_new >= f_lo) & (it > 0))
         grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
         a_b1 = interp(lo, alpha, f_lo, dphi_lo, f_new, grad_alpha)
-
-        dphi_new = jnp.vdot(g_new, d)
         accepted = ~branch1 & (jnp.abs(dphi_new) <= -cfg.c2 * g_dot_d)
 
         # Branch 2: curvature sign flipped -> alpha becomes the new hi.

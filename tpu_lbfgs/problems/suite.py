@@ -34,6 +34,13 @@ class Problem:
     grad: Callable[[Array], Array]          # analytic gradient
     minimum_value: Optional[float] = None   # known f at the minimizer
     minimizer: Optional[Callable[[int, jnp.dtype], Array]] = None
+    # Directional polynomial: coeffs c (ascending) with
+    # f(x + a*d) = sum_k c[k] a^k, computed in ONE fused pass over (x, d).
+    # Enables cfg.ls_eval="polynomial": every line-search trial becomes O(1)
+    # scalar work and phi' is exact with no gradient evaluations — the
+    # reference instead re-evaluates f on the host per trial
+    # (L-BFGS-Backtracking.cu:322-327).
+    dir_poly: Optional[Callable[[Array, Array], Array]] = None
 
     def value_and_grad(self, x: Array) -> tuple[Array, Array]:
         """f and analytic gradient in one call (one pass over x each)."""
@@ -92,6 +99,57 @@ def coupled_quadratic_grad(x: Array, coeff: float = COUPLED_COEFFICIENT) -> Arra
     return g
 
 
+# --- directional polynomials -----------------------------------------------------
+# phi(a) = f(x + a*d) expanded in a; coefficients are fused reductions over
+# (x, d).  Derivations:
+#   quadratic:  sum (r + a*d)^2, r = x-1:
+#     c0 = r.r, c1 = 2 r.d, c2 = d.d
+#   rosenbrock: per term i with A = x' - x^2, B = d' - 2xd, C = -d^2,
+#     e = 1 - x (primes = index i+1):
+#     100 (A + B a + C a^2)^2 + (e - a d)^2 ->
+#     c0 = 100 A^2 + e^2
+#     c1 = 200 A B - 2 e d
+#     c2 = 100 (B^2 + 2 A C) + d^2
+#     c3 = 200 B C
+#     c4 = 100 C^2
+#   coupled_quadratic: K sum (x+ad)^2 + (K/10) sum (x+ad)(x'+a d') ->
+#     c0 = f(x), c1 = 2K x.d + (K/10)(x.d' + x'.d),
+#     c2 = K d.d + (K/10) d.d'
+
+def quadratic_dir_poly(x: Array, d: Array) -> Array:
+    r = x - 1.0
+    return jnp.stack([jnp.vdot(r, r), 2.0 * jnp.vdot(r, d), jnp.vdot(d, d)])
+
+
+def sphere_dir_poly(x: Array, d: Array) -> Array:
+    return jnp.stack([jnp.vdot(x, x), 2.0 * jnp.vdot(x, d), jnp.vdot(d, d)])
+
+
+def rosenbrock_dir_poly(x: Array, d: Array) -> Array:
+    xi, xn = x[:-1], x[1:]
+    di, dn = d[:-1], d[1:]
+    A = xn - xi * xi
+    B = dn - 2.0 * xi * di
+    C = -di * di
+    e = 1.0 - xi
+    c0 = jnp.sum(100.0 * A * A + e * e)
+    c1 = jnp.sum(200.0 * A * B - 2.0 * e * di)
+    c2 = jnp.sum(100.0 * (B * B + 2.0 * A * C) + di * di)
+    c3 = jnp.sum(200.0 * B * C)
+    c4 = jnp.sum(100.0 * C * C)
+    return jnp.stack([c0, c1, c2, c3, c4])
+
+
+def coupled_quadratic_dir_poly(x: Array, d: Array,
+                               coeff: float = COUPLED_COEFFICIENT) -> Array:
+    k10 = coeff / 10.0
+    c0 = coeff * jnp.vdot(x, x) + k10 * jnp.sum(x[:-1] * x[1:])
+    c1 = (2.0 * coeff * jnp.vdot(x, d)
+          + k10 * (jnp.sum(x[:-1] * d[1:]) + jnp.sum(x[1:] * d[:-1])))
+    c2 = coeff * jnp.vdot(d, d) + k10 * jnp.sum(d[:-1] * d[1:])
+    return jnp.stack([c0, c1, c2])
+
+
 # --- extras (not in the reference, useful for tests) -----------------------------
 
 def sphere_f(x: Array) -> Array:
@@ -107,21 +165,25 @@ _PROBLEMS = {
         "quadratic", quadratic_f, quadratic_grad,
         minimum_value=0.0,
         minimizer=lambda d, dtype: jnp.ones((d,), dtype),
+        dir_poly=quadratic_dir_poly,
     ),
     "rosenbrock": Problem(
         "rosenbrock", rosenbrock_f, rosenbrock_grad,
         minimum_value=0.0,
         minimizer=lambda d, dtype: jnp.ones((d,), dtype),
+        dir_poly=rosenbrock_dir_poly,
     ),
     "coupled_quadratic": Problem(
         "coupled_quadratic", coupled_quadratic_f, coupled_quadratic_grad,
         minimum_value=0.0,
         minimizer=lambda d, dtype: jnp.zeros((d,), dtype),
+        dir_poly=coupled_quadratic_dir_poly,
     ),
     "sphere": Problem(
         "sphere", sphere_f, sphere_grad,
         minimum_value=0.0,
         minimizer=lambda d, dtype: jnp.zeros((d,), dtype),
+        dir_poly=sphere_dir_poly,
     ),
 }
 
