@@ -1,0 +1,56 @@
+"""Compensated reductions and the roofline traffic model."""
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_lbfgs.config import LBFGSConfig
+from tpu_lbfgs.utils import compensated_dot, traffic_model
+
+
+def test_compensated_dot_beats_plain_f32():
+    """Adversarial case: large cancelling values + small signal."""
+    rng = np.random.default_rng(0)
+    n = 1 << 16
+    big = rng.normal(size=n) * 1e6
+    small = rng.normal(size=n)
+    a64 = big + small
+    b64 = rng.normal(size=n)
+    exact = float(np.dot(a64, b64))
+
+    a32 = jnp.asarray(a64, jnp.float32)
+    b32 = jnp.asarray(b64, jnp.float32)
+    plain = float(jnp.vdot(a32, b32))
+    comp = float(compensated_dot(a32, b32))
+    # The compensated result must be at least as close to the f64 truth.
+    assert abs(comp - exact) <= abs(plain - exact) + 1e-3 * abs(exact)
+
+
+def test_compensated_dot_matches_exact_small():
+    a = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    b = jnp.asarray([4.0, 5.0, 6.0], jnp.float32)
+    assert float(compensated_dot(a, b)) == 32.0
+
+
+def test_compensated_dot_f64_agrees():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=10000))
+    b = jnp.asarray(rng.normal(size=10000))
+    assert np.isclose(float(compensated_dot(a, b)),
+                      float(jnp.vdot(a, b)), rtol=1e-12)
+
+
+def test_traffic_model_sanity():
+    cfg = LBFGSConfig(direction="compact", ls_eval="polynomial", m=10)
+    tm = traffic_model(cfg, d=1 << 20)
+    assert tm.passes_direction > tm.passes_line_search
+    assert tm.bytes_per_iter == tm.passes_total * (1 << 20) * 4
+    peak = tm.peak_iters_per_s("v5e")
+    assert 1000 < peak < 100000
+    assert 0 < tm.roofline_fraction(peak * 0.5) == 0.5
+
+
+def test_accurate_dots_solver_path():
+    from tpu_lbfgs import LBFGSConfig, Status, get_problem, minimize
+    p = get_problem("coupled_quadratic")
+    cfg = LBFGSConfig(max_iters=200, tol=1e-4, accurate_dots=True)
+    r = minimize(p.f, jnp.full((1000,), 1.5, jnp.float32), cfg, grad=p.grad)
+    assert int(r.status) == Status.CONVERGED

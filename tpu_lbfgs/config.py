@@ -125,6 +125,11 @@ class LBFGSConfig:
     # --- execution -------------------------------------------------------------
     # Use Pallas fused kernels where available (f32 only); falls back to jnp.
     use_pallas: bool = False
+    # Compensated (Neumaier) reductions for the curvature-pair scalars
+    # (s.y, y.y, ||g||^2) — recovers f32 bits lost to partial-sum rounding at
+    # very large d without f64 arithmetic (utils/accurate.py).  jnp tail path
+    # only; ignored when use_pallas handles the tail.
+    accurate_dots: bool = False
     # Record per-iteration trace (f, ||g||, alpha, evals) — uses a bounded scan.
     record_trace: bool = False
 

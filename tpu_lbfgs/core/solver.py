@@ -148,8 +148,17 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # --- curvature pair, fused scalars (lbfgs.cpp:174-181) -------------------
     # One fused pass computes s, y and all three reductions (and re-derives
     # x_new without reading it back) when the Pallas path is enabled.
-    x_new, s, y, sy, yy, gg_new = iteration_tail(
-        x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
+    if cfg.accurate_dots and not cfg.use_pallas:
+        from ..utils.accurate import compensated_dot
+        s = alpha * d
+        y = g_new - g
+        x_new = x + s
+        sy = compensated_dot(s, y)
+        yy = compensated_dot(y, y)
+        gg_new = compensated_dot(g_new, g_new)
+    else:
+        x_new, s, y, sy, yy, gg_new = iteration_tail(
+            x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)

@@ -1,0 +1,95 @@
+"""Per-iteration memory-traffic model and roofline accounting.
+
+The whole solver is memory-bound (SURVEY.md §5 tracing row: "roofline
+accounting — bytes moved per two-loop step vs HBM BW").  This model counts
+the HBM bytes each configuration streams per iteration so benchmarks can
+report achieved fraction of roofline, and so regressions in pass count show
+up as model-vs-measured gaps.
+
+Pass counting (1 pass = d elements read or written once):
+
+direction "two_loop" (lax.scan; reference semantics):
+    first loop per pair: read s_i, q; write q; read y_i  -> 4 passes x m
+    second loop per pair: read y_i, r; write r; read s_i -> 4 passes x m
+    gamma scale + negate: ~2
+direction "compact":
+    contractions S.Y', Y.Y', S.g, Y.g: reads S twice, Y three times, g once
+      (upper bound; XLA may share streams)                -> 5m + 1
+    combine gamma*g + v@S - gamma*(u@Y): read S, Y, g; write r -> 2m + 2
+line search "direct": per trial read x, d + objective read (fused trial
+    point) ~2 passes; Wolfe trials add a gradient pass.
+line search "polynomial": one coefficient pass (read x, d) total.
+iteration tail: read x, d, g, g_new; write x_new, s, y   -> 7
+post-search vg at x_new: read x_new, write g_new (+1 fused objective) -> 2-3
+ring row writes: 2 rows = 2m/m... counted as 2 passes of d.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..config import LBFGSConfig
+
+# Published peak HBM bandwidth per chip, GB/s.
+HBM_BW_GBPS = {
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6e": 1640.0,
+}
+
+
+@dataclass
+class TrafficModel:
+    passes_direction: float
+    passes_line_search: float
+    passes_tail: float
+    passes_vg: float
+    d: int
+    dtype_bytes: int
+
+    @property
+    def passes_total(self) -> float:
+        return (self.passes_direction + self.passes_line_search
+                + self.passes_tail + self.passes_vg)
+
+    @property
+    def bytes_per_iter(self) -> float:
+        return self.passes_total * self.d * self.dtype_bytes
+
+    def peak_iters_per_s(self, chip: str = "v5e") -> float:
+        return HBM_BW_GBPS[chip] * 1e9 / self.bytes_per_iter
+
+    def roofline_fraction(self, measured_iters_per_s: float,
+                          chip: str = "v5e") -> float:
+        return measured_iters_per_s / self.peak_iters_per_s(chip)
+
+
+def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
+                  avg_ls_trials: float = 2.2,
+                  obj_passes: float = 1.0) -> TrafficModel:
+    """Estimate HBM passes per iteration for a configuration.
+
+    avg_ls_trials: measured average line-search trials per iteration
+    (n_fev / iterations from a run); obj_passes: passes one objective
+    evaluation costs beyond reading its input (1 for the suite's fused or
+    elementwise-chain objectives).
+    """
+    m = cfg.m
+    if cfg.direction == "two_loop":
+        p_dir = 8.0 * m + 2.0
+    else:
+        p_dir = (5.0 * m + 1.0) + (2.0 * m + 2.0)
+
+    if cfg.ls_eval == "polynomial":
+        p_ls = 2.0  # one (x, d) coefficient pass
+    else:
+        per_trial = 2.0 + obj_passes
+        if cfg.line_search in ("backtracking_wolfe",
+                               "backtracking_wolfe_bisect",
+                               "wolfe_interpolation"):
+            per_trial += 1.0  # gradient per trial
+        p_ls = per_trial * avg_ls_trials
+
+    p_tail = 7.0
+    p_vg = 2.0 + obj_passes
+    return TrafficModel(p_dir, p_ls, p_tail, p_vg, d, dtype_bytes)
