@@ -31,14 +31,20 @@ def main():
     from tpu_lbfgs.config import LBFGSConfig
 
     # d = 2^20 ("1e6-class"): an exact Pallas-block multiple so the fused
-    # kernels run without padding copies.
+    # kernels run without padding copies.  Fastest measured stack:
+    # incremental compact direction + polynomial line search + Pallas fused
+    # vg/tail (see README performance table).
     d = 1 << 20
-    cfg = LBFGSConfig(line_search="backtracking", direction="compact", m=10,
-                      use_pallas=True)
+    cfg = LBFGSConfig(line_search="backtracking",
+                      direction="compact_incremental", m=10,
+                      use_pallas=True, ls_eval="polynomial")
 
     tpu = bench_tpu(problem="rosenbrock", d=d, iters=200, cfg=cfg,
                     dtype=jnp.float32, repeats=3)
-    cpu = bench_cpu_native(problem="rosenbrock", d=d, iters=20, cfg=cfg)
+    # CPU baseline runs the reference's own algorithm (direct evaluation,
+    # two-loop) — the comparison is framework vs framework, not knob vs knob.
+    cpu_cfg = LBFGSConfig(line_search="backtracking", m=10)
+    cpu = bench_cpu_native(problem="rosenbrock", d=d, iters=20, cfg=cpu_cfg)
 
     vs_baseline = tpu.iters_per_s / (REFERENCE_GPU_SPEEDUP * cpu.iters_per_s)
     print(json.dumps({
@@ -48,7 +54,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
         "tpu_wall_s_200it": round(tpu.wall_s, 4),
-        "config": "backtracking/compact/m=10",
+        "config": "backtracking/compact_incremental/poly-ls/pallas/m=10",
     }))
 
 

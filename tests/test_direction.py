@@ -45,6 +45,8 @@ def _make_state(rng, d=32, m=6, n_pairs=None, spd=True):
         g_norm=jnp.asarray(np.linalg.norm(g)),
         s_hist=jnp.asarray(s_hist), y_hist=jnp.asarray(y_hist),
         sy_hist=jnp.asarray(sy), yy_hist=jnp.asarray(yy),
+        SY=jnp.asarray(s_hist @ y_hist.T), YY=jnp.asarray(y_hist @ y_hist.T),
+        Sg=jnp.asarray(s_hist @ g), Yg=jnp.asarray(y_hist @ g),
         n_pairs=i32(n_pairs), k=i32(n_pairs), status=i32(0),
         alpha=jnp.asarray(1.0), n_fev=i32(0), n_gev=i32(0))
     s_list = [p[0] for p in pairs]

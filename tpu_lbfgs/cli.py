@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "backtracking_wolfe_bisect",
                              "armijo_interpolation", "wolfe_interpolation"])
     ap.add_argument("--direction", default="compact",
-                    choices=["two_loop", "compact"])
+                    choices=["two_loop", "compact", "compact_incremental"])
     ap.add_argument("--fidelity", default="reference",
                     choices=["reference", "fixed"])
     ap.add_argument("-m", "--history", type=int, default=10)

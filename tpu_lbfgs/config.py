@@ -37,7 +37,7 @@ LINE_SEARCH_METHODS = (
     "wolfe_interpolation",
 )
 
-DIRECTION_METHODS = ("two_loop", "compact")
+DIRECTION_METHODS = ("two_loop", "compact", "compact_incremental")
 
 # Fidelity modes: "reference" replicates the reference's exact decision rules,
 # including its documented quirks (SURVEY.md §7 "fidelity traps"); "fixed" uses
@@ -97,6 +97,12 @@ class LBFGSConfig:
     # "compact":  Byrd–Nocedal–Schnabel compact representation — the TPU-native
     #             formulation: two (m,d) matmuls + O(m^2) triangular solves,
     #             one fused reduction per phase when sharded.
+    # "compact_incremental": compact with the history products (S'Y, Y'Y,
+    #             S'g, Y'g) maintained across iterations from gradient
+    #             differences and small-matrix identities — the direction's
+    #             only (m,d)-sized work is the final combine, roughly halving
+    #             history traffic.  fp drift accumulates in the off-diagonal
+    #             products; diagonals stay exact.
     direction: str = "two_loop"
     # When set, the two-loop individually skips pairs with sy <= threshold —
     # the GPU reference's behavior (L-BFGS.cu:222-223, threshold 1e-10).  When

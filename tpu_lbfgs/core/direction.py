@@ -36,7 +36,7 @@ reconstructed by permuting the small (m,) / (m, m) quantities only — the big
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,24 +115,27 @@ def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
 
 def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
     """d = -H g via the compact representation (module docstring)."""
+    return compact_direction_with_aux(cfg, state)[0]
+
+
+class DirAux(NamedTuple):
+    """Coefficients with d = -(gamma*g + v@S - gamma*(u@Y)).
+
+    On any fallback (empty history, bad rho/gamma, non-finite result) the
+    triple is (1, 0, 0) — i.e. d = -g — so downstream small-matrix identities
+    (e.g. Y @ d for the incremental updates) remain valid."""
+    gamma: Array
+    v_phys: Array
+    u_phys: Array
+
+
+def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
+                  YY_p: Array, Sg_p: Array, Yg_p: Array):
+    """Shared small-matrix algebra: physical-order products -> (d, DirAux)."""
     m = state.s_hist.shape[0]
     g = state.g
     dtype = g.dtype
     slots, valid = _ring_logical_slots(state.n_pairs, m)
-
-    # --- first pass over the history: all (m, m) / (m,) products -------------
-    # Expressed as d-axis contractions directly on the (m, d) buffers — no
-    # concatenated (2m, d) copy and no materialized Y^T (an (m, d) transpose
-    # copy per iteration); XLA shares the S/Y streams across the four
-    # contractions.  Under d-axis sharding this whole group is ONE fused
-    # all-reduce of ~(2m+2)m scalars.
-    dn_mm = (((1,), (1,)), ((), ()))   # (m,d) x (m,d) -> (m,m) over d
-    SY_p = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
-                               preferred_element_type=dtype)
-    YY_p = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
-                               preferred_element_type=dtype)
-    Sg_p = state.s_hist @ g
-    Yg_p = state.y_hist @ g
 
     # --- permute the small quantities into logical (chronological) order -----
     SY = SY_p[slots][:, slots]
@@ -168,13 +171,58 @@ def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
                               gamma, use_pallas=False)
 
     bad_gamma = (gamma <= 0) | ~jnp.isfinite(gamma)
-    bad_rho = jnp.any(valid & ~jnp.isfinite(1.0 / jnp.where(valid, jnp.diagonal(SY), 1.0)))
+    bad_rho = jnp.any(valid & ~jnp.isfinite(
+        1.0 / jnp.where(valid, jnp.diagonal(SY), 1.0)))
+    small_ok = jnp.all(jnp.isfinite(v_phys)) & jnp.all(jnp.isfinite(u_phys))
     fallback = (bad_rho | bad_gamma | (state.hist_len == 0)
-                | ~jnp.all(jnp.isfinite(r_vec)))
-    return jnp.where(fallback, -g, -r_vec)
+                | ~small_ok | ~jnp.all(jnp.isfinite(r_vec)))
+
+    one = jnp.asarray(1.0, dtype)
+    zero_m = jnp.zeros((m,), dtype)
+    aux = DirAux(jnp.where(fallback, one, gamma),
+                 jnp.where(fallback, zero_m, v_phys),
+                 jnp.where(fallback, zero_m, u_phys))
+    return jnp.where(fallback, -g, -r_vec), aux
+
+
+def compact_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
+    """Products recomputed from the (m, d) history every iteration."""
+    dtype = state.g.dtype
+    # Expressed as d-axis contractions directly on the (m, d) buffers — no
+    # concatenated (2m, d) copy and no materialized Y^T (an (m, d) transpose
+    # copy per iteration); XLA shares the S/Y streams across the four
+    # contractions.  Under d-axis sharding this whole group is ONE fused
+    # all-reduce of ~(2m+2)m scalars.
+    dn_mm = (((1,), (1,)), ((), ()))   # (m,d) x (m,d) -> (m,m) over d
+    SY_p = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
+                               preferred_element_type=dtype)
+    YY_p = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
+                               preferred_element_type=dtype)
+    Sg_p = state.s_hist @ state.g
+    Yg_p = state.y_hist @ state.g
+    return _compact_core(cfg, state, SY_p, YY_p, Sg_p, Yg_p)
+
+
+def compact_incremental_direction_with_aux(cfg: LBFGSConfig,
+                                           state: LBFGSState):
+    """Products read from the incrementally-maintained state (solver.iterate
+    keeps state.SY/YY/Sg/Yg current — see _update_products): the direction's
+    only large-array work is the 2m-pass combine, roughly halving history
+    traffic vs recomputation.  fp caveat: the SY/YY entries built from
+    gradient differences accumulate rounding over iterations; the
+    curvature-critical diagonals (sy, yy) are always the directly-computed
+    tail reductions."""
+    return _compact_core(cfg, state, state.SY, state.YY, state.Sg, state.Yg)
+
+
+def compute_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
+    if cfg.direction == "compact":
+        return compact_direction_with_aux(cfg, state)
+    if cfg.direction == "compact_incremental":
+        return compact_incremental_direction_with_aux(cfg, state)
+    d = two_loop_direction(cfg, state)
+    return d, None
 
 
 def compute_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
-    if cfg.direction == "compact":
-        return compact_direction(cfg, state)
-    return two_loop_direction(cfg, state)
+    return compute_direction_with_aux(cfg, state)[0]

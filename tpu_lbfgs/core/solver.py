@@ -41,7 +41,7 @@ from ..config import LBFGSConfig
 from ..kernels import iteration_tail
 from ..linesearch.strategies import get_line_search
 from ..types import LBFGSState, SolveResult, Status, Trace
-from .direction import compute_direction
+from .direction import compute_direction_with_aux
 
 ObjFn = Callable[[Array], Array]
 ValGradFn = Callable[[Array], Tuple[Array, Array]]
@@ -64,6 +64,10 @@ def init_state(vg: ValGradFn, x0: Array, m: int) -> LBFGSState:
         y_hist=jnp.zeros((m, d), dtype),
         sy_hist=jnp.ones((m,), dtype),
         yy_hist=jnp.ones((m,), dtype),
+        SY=jnp.zeros((m, m), dtype),
+        YY=jnp.zeros((m, m), dtype),
+        Sg=jnp.zeros((m,), dtype),
+        Yg=jnp.zeros((m,), dtype),
         n_pairs=i32(0),
         k=i32(0),
         status=i32(Status.RUNNING),
@@ -128,11 +132,19 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     x, g = state.x, state.g
 
     # --- search direction with descent safeguard (lbfgs.cpp:147-153) ---------
-    d = compute_direction(cfg, state)
+    d, aux = compute_direction_with_aux(cfg, state)
     g_dot_d = jnp.vdot(g, d)
     not_descent = g_dot_d >= 0
     d = jnp.where(not_descent, -g, d)
     g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)
+    if aux is not None:
+        # Safeguard flip means d = -g, i.e. coefficients (1, 0, 0).
+        one = jnp.asarray(1.0, d.dtype)
+        zeros = jnp.zeros_like(aux.v_phys)
+        aux = aux._replace(
+            gamma=jnp.where(not_descent, one, aux.gamma),
+            v_phys=jnp.where(not_descent, zeros, aux.v_phys),
+            u_phys=jnp.where(not_descent, zeros, aux.u_phys))
 
     # --- line search ----------------------------------------------------------
     phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly)
@@ -156,8 +168,10 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         sy = compensated_dot(s, y)
         yy = compensated_dot(y, y)
         gg_new = compensated_dot(g_new, g_new)
+        dgn = compensated_dot(d, g_new)
+        ggn = compensated_dot(g, g_new)
     else:
-        x_new, s, y, sy, yy, gg_new = iteration_tail(
+        x_new, s, y, sy, yy, gg_new, dgn, ggn = iteration_tail(
             x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
     store = ~failed & (sy > cfg.curvature_threshold)
 
@@ -169,6 +183,49 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     y_hist = state.y_hist.at[slot].set(y_row)
     sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
     yy_hist = state.yy_hist.at[slot].set(jnp.where(store, yy, state.yy_hist[slot]))
+
+    # --- incremental history products (direction="compact_incremental") -----
+    # Maintains SY = S.Y', YY = Y.Y', Sg = S.g, Yg = Y.g across iterations so
+    # the direction never re-contracts the (m, d) history.  New entries come
+    # from gradient differences and small-matrix identities:
+    #   s.g_new       = alpha * (d.g_new)              [tail scalar dgn]
+    #   y_new.g_new   = ||g_new||^2 - g.g_new          [gg_new - ggn]
+    #   s_i.y_new     = s_i.g_new - s_i.g              [t1 - Sg_old]
+    #   y_i.y_new     = y_i.g_new - y_i.g              [t2 - Yg_old]
+    #   s_new.y_j     = alpha * (Y d)[j],  Y d = -(gamma Yg + SY'v - gamma YY u)
+    # fp note: difference-built entries accumulate rounding over iterations;
+    # the curvature-critical diagonals stay the direct tail reductions.
+    if cfg.direction == "compact_incremental":
+        t1 = s_hist @ g_new            # next Sg (old rows unchanged; row slot
+        t2 = y_hist @ g_new            # already holds s/y when stored)
+        sg_new_slot = alpha * dgn      # s.g_new, exact
+        yg_new_slot = gg_new - ggn     # y_new.g_new
+        Sg_next = jnp.where(store, t1.at[slot].set(sg_new_slot), t1)
+        Yg_next = jnp.where(store, t2.at[slot].set(yg_new_slot), t2)
+
+        Yd = -(aux.gamma * state.Yg + state.SY.T @ aux.v_phys
+               - aux.gamma * (state.YY @ aux.u_phys))
+        col = t1 - state.Sg            # s_i.y_new (uses OLD S rows; row slot
+        #                                overwritten by the diagonal below)
+        row = alpha * Yd               # s_new.y_j
+        SY_next = state.SY.at[:, slot].set(col)
+        SY_next = SY_next.at[slot, :].set(row)
+        SY_next = SY_next.at[slot, slot].set(sy)
+        ycol = t2 - state.Yg           # y_i.y_new
+        YY_next = state.YY.at[:, slot].set(ycol)
+        YY_next = YY_next.at[slot, :].set(ycol)
+        YY_next = YY_next.at[slot, slot].set(yy)
+
+        SY_next = jnp.where(store, SY_next, state.SY)
+        YY_next = jnp.where(store, YY_next, state.YY)
+        # Freeze everything on line-search failure (g does not advance).
+        SY_next = jnp.where(failed, state.SY, SY_next)
+        YY_next = jnp.where(failed, state.YY, YY_next)
+        Sg_next = jnp.where(failed, state.Sg, Sg_next)
+        Yg_next = jnp.where(failed, state.Yg, Yg_next)
+    else:
+        SY_next, YY_next = state.SY, state.YY
+        Sg_next, Yg_next = state.Sg, state.Yg
 
     # --- advance (freeze x/g/f on line-search failure: the reference returns
     # the pre-step iterate, lbfgs.cpp:167) ------------------------------------
@@ -182,6 +239,10 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         y_hist=y_hist,
         sy_hist=sy_hist,
         yy_hist=yy_hist,
+        SY=SY_next,
+        YY=YY_next,
+        Sg=Sg_next,
+        Yg=Yg_next,
         n_pairs=state.n_pairs + store.astype(jnp.int32),
         k=state.k + 1,
         status=jnp.where(failed, Status.LINE_SEARCH_FAILED,

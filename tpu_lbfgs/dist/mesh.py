@@ -60,9 +60,11 @@ def state_shardings(mesh: Mesh, d_axis: str = "d",
     hist = sh(None, d_axis)
     scalar = sh()
     small = sh(None)
+    small2 = sh(None, None)
     return LBFGSState(
         x=vec, f=scalar, g=vec, g_norm=scalar,
         s_hist=hist, y_hist=hist, sy_hist=small, yy_hist=small,
+        SY=small2, YY=small2, Sg=small, Yg=small,
         n_pairs=scalar, k=scalar, status=scalar, alpha=scalar,
         n_fev=scalar, n_gev=scalar)
 

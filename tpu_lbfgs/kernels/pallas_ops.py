@@ -70,7 +70,7 @@ def pallas_ok(*arrays: Array) -> bool:
 
 def _iteration_tail_kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
                            xnew_ref, s_ref, y_ref, sy_ref, yy_ref, gg_ref,
-                           acc_ref):
+                           dgn_ref, ggn_ref, acc_ref):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -78,6 +78,8 @@ def _iteration_tail_kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
         acc_ref[0] = 0.0  # s.y
         acc_ref[1] = 0.0  # y.y
         acc_ref[2] = 0.0  # g_new.g_new
+        acc_ref[3] = 0.0  # d.g_new   (incremental SY row update)
+        acc_ref[4] = 0.0  # g.g_new   (incremental Yg patch)
 
     alpha = alpha_ref[0]
     s = alpha * d_ref[:]
@@ -88,12 +90,16 @@ def _iteration_tail_kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
     acc_ref[0] += jnp.sum(s * y)
     acc_ref[1] += jnp.sum(y * y)
     acc_ref[2] += jnp.sum(gn_ref[:] * gn_ref[:])
+    acc_ref[3] += jnp.sum(d_ref[:] * gn_ref[:])
+    acc_ref[4] += jnp.sum(g_ref[:] * gn_ref[:])
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
         sy_ref[0, 0] = acc_ref[0]
         yy_ref[0, 0] = acc_ref[1]
         gg_ref[0, 0] = acc_ref[2]
+        dgn_ref[0, 0] = acc_ref[3]
+        ggn_ref[0, 0] = acc_ref[4]
 
 
 def _iteration_tail_pallas(x, d, alpha, g, g_new):
@@ -107,11 +113,12 @@ def _iteration_tail_pallas(x, d, alpha, g, g_new):
     out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
-    xnew, s, y, sy, yy, gg = pl.pallas_call(
+    xnew, s, y, sy, yy, gg, dgn, ggn = pl.pallas_call(
         _iteration_tail_kernel,
         grid=(rows // BLOCK_ROWS,),
         in_specs=[scal, blk, blk, blk, blk],
-        out_specs=(blk, blk, blk, out_scal, out_scal, out_scal),
+        out_specs=(blk, blk, blk, out_scal, out_scal, out_scal, out_scal,
+                   out_scal),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), f32),
             jax.ShapeDtypeStruct((rows, LANES), f32),
@@ -119,28 +126,33 @@ def _iteration_tail_pallas(x, d, alpha, g, g_new):
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
         ),
-        scratch_shapes=[pltpu.SMEM((3,), f32)],
+        scratch_shapes=[pltpu.SMEM((5,), f32)],
         interpret=_interpret(),
     )(jnp.reshape(alpha.astype(f32), (1,)), x2, d2, g2, gn2)
 
     unpad = lambda v: v.reshape(-1)[:dd]
-    return (unpad(xnew), unpad(s), unpad(y), sy[0, 0], yy[0, 0], gg[0, 0])
+    return (unpad(xnew), unpad(s), unpad(y), sy[0, 0], yy[0, 0], gg[0, 0],
+            dgn[0, 0], ggn[0, 0])
 
 
 def _iteration_tail_jnp(x, d, alpha, g, g_new):
     s = alpha * d
     y = g_new - g
     return (x + s, s, y, jnp.vdot(s, y), jnp.vdot(y, y),
-            jnp.vdot(g_new, g_new))
+            jnp.vdot(g_new, g_new), jnp.vdot(d, g_new), jnp.vdot(g, g_new))
 
 
 def iteration_tail(x: Array, d: Array, alpha: Array, g: Array, g_new: Array,
                    use_pallas: bool = True):
-    """(x_new, s, y, s.y, y.y, ||g_new||^2) in one HBM pass.
+    """(x_new, s, y, s.y, y.y, ||g_new||^2, d.g_new, g.g_new) in one HBM pass.
 
     Replaces the reference's updateSolution + updateVectors kernels plus
-    three separate cuBLAS Ddots (L-BFGS.cu:55-63,19-31,219-244,345-348)."""
+    three separate cuBLAS Ddots (L-BFGS.cu:55-63,19-31,219-244,345-348); the
+    last two scalars feed the incremental history-product updates
+    (direction="compact_incremental")."""
     if use_pallas and pallas_ok(x, d, g, g_new):
         return _iteration_tail_pallas(x, d, alpha, g, g_new)
     return _iteration_tail_jnp(x, d, alpha, g, g_new)

@@ -46,6 +46,12 @@ class LBFGSState(NamedTuple):
     y_hist: Array     # (m, d) y_p = g_{p+1} - g_p, ring-indexed
     sy_hist: Array    # (m,)   s_p . y_p (rho denominators, precomputed on store)
     yy_hist: Array    # (m,)   y_p . y_p (gamma denominators, precomputed on store)
+    # Incrementally-maintained history products (direction="compact_incremental"):
+    # all in physical slot order; zeros when unused by the active direction.
+    SY: Array         # (m, m) s_i . y_j
+    YY: Array         # (m, m) y_i . y_j
+    Sg: Array         # (m,)   s_i . g   (g = the CURRENT gradient)
+    Yg: Array         # (m,)   y_i . g
     n_pairs: Array    # ()     int32, accepted pairs ever stored
     k: Array          # ()     int32, iteration counter
     status: Array     # ()     int32, Status code
