@@ -149,3 +149,19 @@ def test_batched_problem_params():
     assert np.all(np.asarray(res.status) == Status.CONVERGED)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(targets),
                                atol=1e-8)
+
+
+def test_scaling_sweep_on_virtual_mesh():
+    """Strong-scaling harness runs on the 8-virtual-CPU mesh and produces
+    consistent results (no real speedup expected — the 'devices' share one
+    physical CPU; this validates program + bookkeeping, not performance)."""
+    from tpu_lbfgs.bench.scaling import scaling_sweep
+    cfg = LBFGSConfig(line_search="backtracking", direction="compact")
+    rows = scaling_sweep(problem="coupled_quadratic", d=1024, iters=5,
+                         cfg=cfg, device_counts=[1, 8],
+                         dtype=__import__("jax.numpy", fromlist=["x"]).float64)
+    assert [r["n_devices"] for r in rows] == [1, 8]
+    for r in rows:
+        assert np.isfinite(r["final_f"])
+        assert r["iters_per_s"] > 0
+    assert rows[0]["efficiency"] == 1.0
