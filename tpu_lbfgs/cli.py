@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="native = the C++ CPU oracle")
     ap.add_argument("--trace", action="store_true",
                     help="record per-iteration metrics (bounded scan)")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print the reference-style per-iteration log "
+                         "(Iteration k, f, |grad|) from the recorded trace — "
+                         "read out once post-solve, never syncing the device "
+                         "loop (unlike lbfgs.cpp:76-78)")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     return ap
 
@@ -80,7 +85,7 @@ def main(argv=None) -> int:
         m=args.history, max_iters=args.max_iters, tol=args.tol,
         line_search=args.line_search, direction=args.direction,
         fidelity=args.fidelity, c1=args.c1, c2=args.c2,
-        use_pallas=args.pallas, record_trace=args.trace,
+        use_pallas=args.pallas, record_trace=args.trace or args.verbose,
         ls_eval="polynomial" if args.poly_ls else "direct")
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
@@ -130,6 +135,14 @@ def main(argv=None) -> int:
                                grad=None if vg else p.grad,
                                value_and_grad=vg, dir_poly=dir_poly)
             wall = time.perf_counter() - t0
+            if args.verbose and res.trace is not None:
+                k = int(res.iterations)
+                tf = np.asarray(res.trace.f[:k])
+                tg = np.asarray(res.trace.g_norm[:k])
+                ta = np.asarray(res.trace.alpha[:k])
+                for i in range(k):
+                    print(f"Iteration {i}, f = {tf[i]:.6g}, "
+                          f"|grad| = {tg[i]:.6g}, alpha = {ta[i]:.4g}")
             rec = {"seed": seed, "status": Status.NAMES[int(res.status)],
                    "iterations": int(res.iterations), "f": float(res.f),
                    "g_norm": float(res.g_norm), "n_fev": int(res.n_fev),
