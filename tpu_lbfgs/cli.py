@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "read out once post-solve, never syncing the device "
                          "loop (unlike lbfgs.cpp:76-78)")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument("--device", default="default", choices=["default", "cpu"],
+                    help="cpu forces the host backend (this environment's "
+                         "sitecustomize ignores JAX_PLATFORMS)")
     return ap
 
 
@@ -75,6 +78,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
