@@ -17,10 +17,24 @@ i.e. our speedup over the *reference-GPU-equivalent* throughput.  Values > 1
 beat the reference's headline result.
 """
 import json
+import signal
 import sys
 
 
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise BenchTimeout()
+
+
 def main():
+    # The axon TPU tunnel occasionally wedges (computations hang
+    # indefinitely); bound the whole benchmark so the caller gets a
+    # diagnosable error line instead of a silent hang.
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(480)
     import jax.numpy as jnp
 
     from tpu_lbfgs.bench.harness import (
@@ -59,4 +73,12 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BenchTimeout:
+        print(json.dumps({
+            "metric": "lbfgs_iters_per_s_rosenbrock_d1e6_f32",
+            "value": 0.0, "unit": "iter/s", "vs_baseline": 0.0,
+            "error": "timeout: TPU tunnel unresponsive within 480s",
+        }))
+        sys.exit(1)

@@ -64,6 +64,12 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     n_shards = int(mesh.shape[d_axis])
+    if n_shards > 1 and cfg.use_pallas:
+        # The Pallas kernels are single-device programs; under a >1-way
+        # partition XLA would materialize full gathers around each call.
+        # Until they are shard_map-wrapped, the jnp paths (which partition
+        # cleanly) are strictly faster here.
+        cfg = cfg.replace(use_pallas=False)
     f, vg, x0_arr, d_orig = _pad_for_mesh(f, vg, jnp.asarray(x0), n_shards)
 
     st_sh = state_shardings(mesh, d_axis)
