@@ -80,3 +80,28 @@ def test_incremental_ring_wraparound():
     np.testing.assert_allclose(np.asarray(r_i.trace.f[:k]),
                                np.asarray(r_c.trace.f[:k]),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_bf16_history_converges():
+    """bfloat16 history storage: approximate H, full-precision decisions."""
+    p = get_problem("coupled_quadratic")
+    x0 = jnp.full((512,), 1.5, jnp.float32)
+    for direction in ("compact", "compact_incremental", "two_loop"):
+        cfg = LBFGSConfig(direction=direction, max_iters=300, tol=1e-2,
+                          history_dtype="bfloat16")
+        r = minimize(p.f, x0, cfg, grad=p.grad)
+        assert int(r.status) == Status.CONVERGED, direction
+
+
+def test_bf16_history_iteration_overhead_bounded():
+    """bf16 history costs at most a modest iteration-count increase on
+    Rosenbrock (quasi-Newton tolerates inexact H)."""
+    p = get_problem("rosenbrock")
+    x0 = jnp.full((64,), -1.2, jnp.float64)
+    base = LBFGSConfig(line_search="wolfe_interpolation", c2=0.9,
+                       direction="compact", max_iters=4000, tol=1e-5)
+    r32 = minimize(p.f, x0, base, grad=p.grad)
+    rbf = minimize(p.f, x0, base.replace(history_dtype="bfloat16"),
+                   grad=p.grad)
+    assert int(rbf.status) == Status.CONVERGED
+    assert int(rbf.iterations) <= int(r32.iterations) * 2

@@ -51,7 +51,7 @@ def vmap_minimize(f: Callable, x0_batch: Array,
                 if value_and_grad is not None else None
             vg = make_value_and_grad(fp, gp, vgp)
             dp = (lambda x, d: dir_poly(x, d, params)) if dir_poly else None
-            state = init_state(vg, x0, cfg.m)
+            state = init_state(vg, x0, cfg.m, cfg.history_dtype)
             out = solve_from_state(cfg, fp, vg, state, dp)
             return _state_to_result(out, None)
 
@@ -60,7 +60,7 @@ def vmap_minimize(f: Callable, x0_batch: Array,
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     def run_one(x0):
-        state = init_state(vg, x0, cfg.m)
+        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         out = solve_from_state(cfg, f, vg, state, dir_poly)
         return _state_to_result(out, None)
 

@@ -70,7 +70,7 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
 
     @jax.jit
     def run(x0):
-        state = init_state(vg, x0, cfg.m)
+        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         return solve_from_state(cfg, p.f, vg, state, dir_poly)
 
     def sync(out):
@@ -140,7 +140,7 @@ def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
 
     @jax.jit
     def run(x0):
-        state = init_state(vg, x0, cfg.m)
+        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         return solve_from_state(cfg, p.f, vg, state, dir_poly)
 
     x0 = _x0(problem, d, seed, dtype)

@@ -43,7 +43,8 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
     rng = np.random.default_rng(seed)
     x0 = jax.device_put(jnp.asarray(rng.uniform(-2, 2, d), dtype), x_sh)
 
-    make = jax.jit(lambda x: init_state(vg, x, cfg.m), out_shardings=st_sh)
+    make = jax.jit(lambda x: init_state(vg, x, cfg.m, cfg.history_dtype),
+                   out_shardings=st_sh)
     run = jax.jit(lambda s: solve_from_state(cfg, p.f, vg, s, dir_poly),
                   in_shardings=(st_sh,), out_shardings=st_sh)
 

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--c2", type=float, default=0.9)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument("--history-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="down-cast (m,d) history storage (halves direction "
+                         "HBM traffic; slightly approximate H)")
     ap.add_argument("--pallas", action="store_true",
                     help="enable the Pallas fused kernels (f32 only)")
     ap.add_argument("--poly-ls", action="store_true",
@@ -92,7 +96,8 @@ def main(argv=None) -> int:
         line_search=args.line_search, direction=args.direction,
         fidelity=args.fidelity, c1=args.c1, c2=args.c2,
         use_pallas=args.pallas, record_trace=args.trace or args.verbose,
-        ls_eval="polynomial" if args.poly_ls else "direct")
+        ls_eval="polynomial" if args.poly_ls else "direct",
+        history_dtype=args.history_dtype)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)

@@ -131,6 +131,14 @@ class LBFGSConfig:
     # --- execution -------------------------------------------------------------
     # Use Pallas fused kernels where available (f32 only); falls back to jnp.
     use_pallas: bool = False
+    # Store the (m, d) curvature history in bfloat16 (compute stays f32):
+    # halves the direction phase's HBM traffic and feeds the MXU its native
+    # dtype.  The curvature scalars sy/yy are computed in full precision
+    # BEFORE the cast, so the update/skip decisions are unaffected; the
+    # direction itself becomes slightly approximate (quasi-Newton methods
+    # tolerate inexact H well — expect a few % more iterations, large
+    # wall-clock win at big d).  None = same dtype as x.
+    history_dtype: Optional[str] = None  # None | "bfloat16"
     # Compensated (Neumaier) reductions for the curvature-pair scalars
     # (s.y, y.y, ||g||^2) — recovers f32 bits lost to partial-sum rounding at
     # very large d without f64 arithmetic (utils/accurate.py).  jnp tail path

@@ -47,11 +47,14 @@ ObjFn = Callable[[Array], Array]
 ValGradFn = Callable[[Array], Tuple[Array, Array]]
 
 
-def init_state(vg: ValGradFn, x0: Array, m: int) -> LBFGSState:
+def init_state(vg: ValGradFn, x0: Array, m: int,
+               history_dtype=None) -> LBFGSState:
     """Build the initial solver state; evaluates f and grad once at x0
-    (lbfgs.cpp:29-30)."""
+    (lbfgs.cpp:29-30).  history_dtype optionally down-casts the (m, d) ring
+    storage (cfg.history_dtype, e.g. "bfloat16")."""
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
+    hdtype = jnp.dtype(history_dtype) if history_dtype else dtype
     d = x0.shape[-1]
     f0, g0 = vg(x0)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -60,8 +63,8 @@ def init_state(vg: ValGradFn, x0: Array, m: int) -> LBFGSState:
         f=f0,
         g=g0,
         g_norm=jnp.sqrt(jnp.vdot(g0, g0)),
-        s_hist=jnp.zeros((m, d), dtype),
-        y_hist=jnp.zeros((m, d), dtype),
+        s_hist=jnp.zeros((m, d), hdtype),
+        y_hist=jnp.zeros((m, d), hdtype),
         sy_hist=jnp.ones((m,), dtype),
         yy_hist=jnp.ones((m,), dtype),
         SY=jnp.zeros((m, m), dtype),
@@ -177,8 +180,9 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     slot = (state.n_pairs % m).astype(jnp.int32)
     # Row-masked ring update: only slot's row moves, and only when storing.
-    s_row = jnp.where(store, s, state.s_hist[slot])
-    y_row = jnp.where(store, y, state.y_hist[slot])
+    hdtype = state.s_hist.dtype
+    s_row = jnp.where(store, s.astype(hdtype), state.s_hist[slot])
+    y_row = jnp.where(store, y.astype(hdtype), state.y_hist[slot])
     s_hist = state.s_hist.at[slot].set(s_row)
     y_hist = state.y_hist.at[slot].set(y_row)
     sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
@@ -335,7 +339,7 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
 
     @partial(jax.jit, static_argnums=())
     def run(x0):
-        state = init_state(vg, x0, cfg.m)
+        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         if cfg.record_trace:
             out, trace = _solve_traced(cfg, f, vg, state, dir_poly)
             return _state_to_result(out, trace)

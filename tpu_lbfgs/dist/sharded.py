@@ -78,7 +78,7 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
 
     @partial(jax.jit, out_shardings=st_sh)
     def make_state(x0):
-        return init_state(vg, x0, cfg.m)
+        return init_state(vg, x0, cfg.m, cfg.history_dtype)
 
     trace_len = cfg.max_iters if cfg.record_trace else None
     res_sh = result_shardings(mesh, d_axis, trace_len=trace_len)
@@ -117,7 +117,7 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
 
     @partial(jax.jit, out_shardings=st_sh)
     def make_states(x0s):
-        return jax.vmap(lambda x: init_state(vg, x, cfg.m))(x0s)
+        return jax.vmap(lambda x: init_state(vg, x, cfg.m, cfg.history_dtype))(x0s)
 
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(states):
