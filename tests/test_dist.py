@@ -165,3 +165,34 @@ def test_scaling_sweep_on_virtual_mesh():
         assert np.isfinite(r["final_f"])
         assert r["iters_per_s"] > 0
     assert rows[0]["efficiency"] == 1.0
+
+
+@pytest.mark.parametrize("problem", ["rosenbrock", "coupled_quadratic",
+                                     "quadratic"])
+def test_shardmap_vg_matches_reference(mesh, problem):
+    """Explicit shard_map + halo ppermute + psum vg == the plain objective."""
+    from tpu_lbfgs.dist.shardmap_vg import shardmap_value_and_grad
+    p = get_problem(problem)
+    d = 512
+    x = jnp.asarray(np.random.default_rng(11).uniform(-2, 2, d))
+    vg = shardmap_value_and_grad(problem, mesh)
+    xs = jax.device_put(x, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("d")))
+    f_sm, g_sm = jax.jit(vg)(xs)
+    np.testing.assert_allclose(float(f_sm), float(p.f(x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_sm), np.asarray(p.grad(x)),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_shardmap_vg_drives_solver(mesh):
+    """The shard_map vg plugs into sharded_minimize as value_and_grad."""
+    from tpu_lbfgs.dist.shardmap_vg import shardmap_value_and_grad
+    p = get_problem("coupled_quadratic")
+    d = 512
+    x0 = jnp.asarray(np.random.default_rng(12).uniform(-1, 1, d))
+    vg = shardmap_value_and_grad("coupled_quadratic", mesh)
+    cfg = LBFGSConfig(max_iters=100, tol=1e-8)
+    r = sharded_minimize(p.f, x0, cfg, mesh=mesh, value_and_grad=vg)
+    r_ref = minimize(p.f, x0, cfg, grad=p.grad)
+    assert int(r.status) == Status.CONVERGED
+    assert abs(float(r.f) - float(r_ref.f)) < 1e-10
