@@ -141,3 +141,22 @@ def test_eval_counters_match_oracle():
     # OracleResult; assert the JAX counters are within the oracle's count.
     assert int(res.n_fev) <= counted["f"]
     assert int(res.n_gev) <= counted["g"] + 1
+
+
+def test_final_optimum_matches_scipy():
+    """Sanity cross-check against an independent L-BFGS (SciPy's L-BFGS-B):
+    same optimum on the coupled quadratic (strictly convex -> unique)."""
+    import scipy.optimize as so
+    import np_problems
+
+    f_np, g_np = np_problems.PROBLEMS["coupled_quadratic"]
+    x0 = np.random.default_rng(21).uniform(-2, 2, 64)
+    sp = so.minimize(f_np, x0, jac=g_np, method="L-BFGS-B",
+                     options={"gtol": 1e-10})
+    p = get_problem("coupled_quadratic")
+    cfg = LBFGSConfig(line_search="wolfe_interpolation", max_iters=500,
+                      tol=1e-9)
+    r = minimize(p.f, jnp.asarray(x0), cfg, grad=p.grad)
+    assert int(r.status) == Status.CONVERGED
+    np.testing.assert_allclose(np.asarray(r.x), sp.x, atol=1e-6)
+    assert abs(float(r.f) - sp.fun) < 1e-10

@@ -1,0 +1,104 @@
+"""Full benchmark sweep: python -m tpu_lbfgs.bench [--out bench_results.json]
+
+Runs the headline fixed-iteration benches across configurations (directions,
+line searches, dtypes, dims) plus the CPU-native baseline, and writes a JSON
+report.  Each configuration is one jit program; on the axon remote backend
+large compile bursts can wedge the tunnel, so configurations run sequentially
+with a per-config alarm and failures are recorded rather than fatal.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_s, _f):
+    raise _Timeout()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu_lbfgs.bench")
+    ap.add_argument("--out", default="bench_results.json")
+    ap.add_argument("--d", type=int, default=1 << 20)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--per-config-timeout", type=int, default=300)
+    ap.add_argument("--quick", action="store_true",
+                    help="3 key configs only")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..config import LBFGSConfig
+    from .harness import bench_cpu_native, bench_tpu
+
+    base = LBFGSConfig(line_search="backtracking", m=10)
+    configs = [
+        ("two_loop/direct", base.replace(direction="two_loop")),
+        ("compact/direct", base.replace(direction="compact")),
+        ("compact/poly+pallas", base.replace(
+            direction="compact", ls_eval="polynomial", use_pallas=True)),
+        ("incr/poly+pallas", base.replace(
+            direction="compact_incremental", ls_eval="polynomial",
+            use_pallas=True)),
+        ("incr/poly+pallas/bf16", base.replace(
+            direction="compact_incremental", ls_eval="polynomial",
+            use_pallas=True, history_dtype="bfloat16")),
+        ("incr/poly+pallas/m=20", base.replace(
+            direction="compact_incremental", ls_eval="polynomial",
+            use_pallas=True, m=20)),
+        ("wolfe/poly", base.replace(
+            direction="compact_incremental", ls_eval="polynomial",
+            line_search="wolfe_interpolation", c2=0.9, use_pallas=True)),
+    ]
+    if args.quick:
+        configs = [configs[1], configs[3], configs[4]]
+
+    signal.signal(signal.SIGALRM, _alarm)
+    rows = []
+    for name, cfg in configs:
+        signal.alarm(args.per_config_timeout)
+        try:
+            t0 = time.time()
+            r = bench_tpu(d=args.d, iters=args.iters, cfg=cfg, repeats=2)
+            rows.append({"config": name, "iters_per_s": round(r.iters_per_s, 1),
+                         "wall_s": round(r.wall_s, 4),
+                         "final_f": r.final_f,
+                         "setup_s": round(time.time() - t0, 1)})
+            print(f"{name:28s} {r.iters_per_s:9.1f} it/s", flush=True)
+        except _Timeout:
+            rows.append({"config": name, "error": "timeout"})
+            print(f"{name:28s} TIMEOUT", flush=True)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            rows.append({"config": name, "error": f"{type(e).__name__}: {e}"})
+            print(f"{name:28s} ERROR {type(e).__name__}", flush=True)
+        finally:
+            signal.alarm(0)
+
+    signal.alarm(args.per_config_timeout)
+    try:
+        cpu = bench_cpu_native(d=args.d, iters=20,
+                               cfg=LBFGSConfig(line_search="backtracking"))
+        rows.append({"config": "cpu-native-baseline",
+                     "iters_per_s": round(cpu.iters_per_s, 2)})
+        print(f"{'cpu-native-baseline':28s} {cpu.iters_per_s:9.2f} it/s")
+    except _Timeout:
+        rows.append({"config": "cpu-native-baseline", "error": "timeout"})
+    finally:
+        signal.alarm(0)
+
+    with open(args.out, "w") as fh:
+        json.dump({"d": args.d, "iters": args.iters, "rows": rows}, fh,
+                  indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
