@@ -178,8 +178,10 @@ REFERENCE_SEQUENTIAL = LBFGSConfig(
     m=10, max_iters=15000, tol=1e-8, line_search="backtracking", c2=C2_SEQUENTIAL,
 )
 
-# Config matching the reference's GPU drivers (e.g. L-BFGS-Backtracking.cu:429-457).
+# Config matching the reference's GPU drivers (e.g. L-BFGS-Backtracking.cu:429-457):
+# loose tol, per-pair curvature skip inside the two-loop (L-BFGS.cu:222-223),
+# C2=0.7, and the alpha floor rescue.
 REFERENCE_PARALLEL = LBFGSConfig(
     m=10, max_iters=50000, tol=1e-1, line_search="backtracking", c2=C2_PARALLEL,
-    alpha_rescue_floor=1e-4,
+    alpha_rescue_floor=1e-4, pair_skip_threshold=1e-10,
 )
