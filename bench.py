@@ -47,13 +47,16 @@ def main():
     # d = 2^20 ("1e6-class"): an exact Pallas-block multiple so the fused
     # kernels run without padding copies.  Fastest measured stack:
     # incremental compact direction + polynomial line search + Pallas fused
-    # vg/tail (see README performance table).
+    # vg/tail + bfloat16 history storage (see README performance table).
+    # 1000 timed iterations: the axon tunnel adds ~27-30ms of fixed per-call
+    # dispatch; 200-iter runs under-report steady-state throughput by ~25%.
     d = 1 << 20
     cfg = LBFGSConfig(line_search="backtracking",
                       direction="compact_incremental", m=10,
-                      use_pallas=True, ls_eval="polynomial")
+                      use_pallas=True, ls_eval="polynomial",
+                      history_dtype="bfloat16")
 
-    tpu = bench_tpu(problem="rosenbrock", d=d, iters=200, cfg=cfg,
+    tpu = bench_tpu(problem="rosenbrock", d=d, iters=1000, cfg=cfg,
                     dtype=jnp.float32, repeats=3)
     # CPU baseline runs the reference's own algorithm (direct evaluation,
     # two-loop) — the comparison is framework vs framework, not knob vs knob.
@@ -67,8 +70,8 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(vs_baseline, 2),
         "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
-        "tpu_wall_s_200it": round(tpu.wall_s, 4),
-        "config": "backtracking/compact_incremental/poly-ls/pallas/m=10",
+        "tpu_wall_s_1000it": round(tpu.wall_s, 4),
+        "config": "backtracking/compact_incremental/poly-ls/pallas/bf16-hist/m=10",
     }))
 
 

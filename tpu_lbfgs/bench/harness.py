@@ -150,6 +150,6 @@ def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
     out = run(x0)
     float(out.f)                            # scalar fetch = end-to-end fence
     wall = time.perf_counter() - t0
-    return {"wall_s": wall, "iterations": int(out.iterations),
+    return {"wall_s": wall, "iterations": int(out.k),
             "status": int(out.status), "g_norm": float(out.g_norm),
             "f": float(out.f)}

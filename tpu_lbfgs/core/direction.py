@@ -123,10 +123,18 @@ class DirAux(NamedTuple):
 
     On any fallback (empty history, bad rho/gamma, non-finite result) the
     triple is (1, 0, 0) — i.e. d = -g — so downstream small-matrix identities
-    (e.g. Y @ d for the incremental updates) remain valid."""
+    (e.g. Y @ d for the incremental updates) remain valid.
+
+    g_dot_d is the directional derivative phi'(0) = g.d computed from the
+    SAME coefficients by the O(m) identity
+        g.d = -(gamma*||g||^2 + v.(S g) - gamma * u.(Y g))
+    so the solver never spends a (2d)-element HBM pass on jnp.vdot(g, d);
+    the reference instead re-reduces the full vectors every iteration
+    (lbfgs.cpp:147, L-BFGS-Backtracking.cu:295-306)."""
     gamma: Array
     v_phys: Array
     u_phys: Array
+    g_dot_d: Array
 
 
 def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
@@ -177,11 +185,17 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
     fallback = (bad_rho | bad_gamma | (state.hist_len == 0)
                 | ~small_ok | ~jnp.all(jnp.isfinite(r_vec)))
 
+    # phi'(0) from the small quantities only (see DirAux docstring); the
+    # fallback coefficients (1, 0, 0) make the same formula yield -||g||^2.
+    gg = state.g_norm * state.g_norm
+    g_dot_d = -(gamma * gg + jnp.vdot(v, p1) - gamma * jnp.vdot(u, p2))
+
     one = jnp.asarray(1.0, dtype)
     zero_m = jnp.zeros((m,), dtype)
     aux = DirAux(jnp.where(fallback, one, gamma),
                  jnp.where(fallback, zero_m, v_phys),
-                 jnp.where(fallback, zero_m, u_phys))
+                 jnp.where(fallback, zero_m, u_phys),
+                 jnp.where(fallback, -gg, g_dot_d))
     return jnp.where(fallback, -g, -r_vec), aux
 
 

@@ -136,7 +136,9 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     # --- search direction with descent safeguard (lbfgs.cpp:147-153) ---------
     d, aux = compute_direction_with_aux(cfg, state)
-    g_dot_d = jnp.vdot(g, d)
+    # Compact paths derive phi'(0) from the direction coefficients in O(m)
+    # scalar work (DirAux.g_dot_d) instead of a 2-pass full-vector reduction.
+    g_dot_d = jnp.vdot(g, d) if aux is None else aux.g_dot_d
     not_descent = g_dot_d >= 0
     d = jnp.where(not_descent, -g, d)
     g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)

@@ -40,6 +40,9 @@ HBM_BW_GBPS = {
 
 @dataclass
 class TrafficModel:
+    """Per-iteration HBM traffic, split by phase, in f32-pass equivalents
+    (1.0 = d elements at 4 bytes read or written once; a bfloat16 history
+    pass counts 0.5)."""
     passes_direction: float
     passes_line_search: float
     passes_tail: float
@@ -75,10 +78,22 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     elementwise-chain objectives).
     """
     m = cfg.m
+    # History-array passes are cheaper when the (m, d) ring is stored in a
+    # narrower dtype (cfg.history_dtype="bfloat16" -> 0.5 f32-equivalents).
+    hw = 1.0
+    if cfg.history_dtype is not None:
+        import jax.numpy as jnp
+        hw = jnp.dtype(cfg.history_dtype).itemsize / dtype_bytes
+
     if cfg.direction == "two_loop":
-        p_dir = 8.0 * m + 2.0
-    else:
-        p_dir = (5.0 * m + 1.0) + (2.0 * m + 2.0)
+        # per pair, both loops: read s_i, y_i (history) + read/write q or r.
+        p_dir = (4.0 * m) * hw + (4.0 * m) + 2.0
+    elif cfg.direction == "compact_incremental":
+        # matvecs S@g_new, Y@g_new (tail side) + combine read S, Y, g, write d.
+        # g.d comes from the DirAux coefficient identity: no vdot pass.
+        p_dir = (2.0 * m) * hw + 1.0 + (2.0 * m) * hw + 2.0
+    else:  # compact: recompute S.Y', Y.Y', S.g, Y.g then combine
+        p_dir = (5.0 * m) * hw + 1.0 + (2.0 * m) * hw + 2.0
 
     if cfg.ls_eval == "polynomial":
         p_ls = 2.0  # one (x, d) coefficient pass
@@ -89,7 +104,10 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                                "wolfe_interpolation"):
             per_trial += 1.0  # gradient per trial
         p_ls = per_trial * avg_ls_trials
+        p_ls += 2.0  # direct mode reduces jnp.vdot(g, d) for phi'(0)
 
-    p_tail = 7.0
+    # x_new compute (read x, d, write x_new), fused tail (read x, d, g,
+    # g_new; write x_new, s, y), ring-row select+write (2 rows each way).
+    p_tail = 3.0 + 7.0 + 4.0 * hw
     p_vg = 2.0 + obj_passes
     return TrafficModel(p_dir, p_ls, p_tail, p_vg, d, dtype_bytes)
