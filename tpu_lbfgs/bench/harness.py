@@ -62,16 +62,20 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
     cfg = cfg.replace(max_iters=iters, tol=0.0)  # tol=0: never converge early
     p = get_problem(problem)
     if cfg.use_pallas:
-        from ..problems.suite import fused_value_and_grad
+        from ..problems.suite import fused_tail_for, fused_value_and_grad
         vg = fused_value_and_grad(problem, use_pallas=True)
+        fused_tail = fused_tail_for(
+            problem, with_matvec=(cfg.direction == "compact_incremental"),
+            use_pallas=True)
     else:
         vg = make_value_and_grad(p.f, p.grad)
+        fused_tail = None
     dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
 
     @jax.jit
     def run(x0):
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
-        return solve_from_state(cfg, p.f, vg, state, dir_poly)
+        return solve_from_state(cfg, p.f, vg, state, dir_poly, fused_tail)
 
     def sync(out):
         # NOTE: on the axon remote backend, jax.block_until_ready over the

@@ -129,8 +129,15 @@ def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
 
 
 def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-            state: LBFGSState, dir_poly=None) -> LBFGSState:
-    """One unconditional L-BFGS iteration (assumes status == RUNNING)."""
+            state: LBFGSState, dir_poly=None, fused_tail=None) -> LBFGSState:
+    """One unconditional L-BFGS iteration (assumes status == RUNNING).
+
+    fused_tail: optional single-stream post-line-search tail (see
+    problems.suite.fused_tail_for / kernels.make_fused_tail); when given it
+    replaces the x_new + vg + iteration_tail + history-matvec chain with one
+    kernel.  Incompatible with cfg.accurate_dots (the fused kernel uses
+    plain per-block accumulation).
+    """
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
 
@@ -158,33 +165,43 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     alpha = ls.alpha
 
     # --- trial point & failure bail (lbfgs.cpp:159-168) ----------------------
-    x_new = x + alpha * d
-    f_new, g_new = vg(x_new)
     failed = alpha < cfg.step_fail_tol
-
-    # --- curvature pair, fused scalars (lbfgs.cpp:174-181) -------------------
-    # One fused pass computes s, y and all three reductions (and re-derives
-    # x_new without reading it back) when the Pallas path is enabled.
-    if cfg.accurate_dots and not cfg.use_pallas:
-        from ..utils.accurate import compensated_dot
-        s = alpha * d
-        y = g_new - g
-        x_new = x + s
-        sy = compensated_dot(s, y)
-        yy = compensated_dot(y, y)
-        gg_new = compensated_dot(g_new, g_new)
-        dgn = compensated_dot(d, g_new)
-        ggn = compensated_dot(g, g_new)
+    hdtype = state.s_hist.dtype
+    t1_pre = t2_pre = None
+    if fused_tail is not None:
+        # Single HBM stream: x_new, f_new, g_new, ring rows (history dtype),
+        # all pair/convergence scalars, and the pre-update history matvecs.
+        (x_new, f_new, g_new, s_h, y_h, sy, yy, gg_new, dgn, ggn,
+         t1_pre, t2_pre) = fused_tail(x, d, alpha, g,
+                                      state.s_hist, state.y_hist)
     else:
-        x_new, s, y, sy, yy, gg_new, dgn, ggn = iteration_tail(
-            x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
+        x_new = x + alpha * d
+        f_new, g_new = vg(x_new)
+
+        # --- curvature pair, fused scalars (lbfgs.cpp:174-181) ---------------
+        # One fused pass computes s, y and all three reductions (and
+        # re-derives x_new without reading it back) under Pallas.
+        if cfg.accurate_dots and not cfg.use_pallas:
+            from ..utils.accurate import compensated_dot
+            s = alpha * d
+            y = g_new - g
+            x_new = x + s
+            sy = compensated_dot(s, y)
+            yy = compensated_dot(y, y)
+            gg_new = compensated_dot(g_new, g_new)
+            dgn = compensated_dot(d, g_new)
+            ggn = compensated_dot(g, g_new)
+        else:
+            x_new, s, y, sy, yy, gg_new, dgn, ggn = iteration_tail(
+                x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
+        s_h = s.astype(hdtype)
+        y_h = y.astype(hdtype)
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)
     # Row-masked ring update: only slot's row moves, and only when storing.
-    hdtype = state.s_hist.dtype
-    s_row = jnp.where(store, s.astype(hdtype), state.s_hist[slot])
-    y_row = jnp.where(store, y.astype(hdtype), state.y_hist[slot])
+    s_row = jnp.where(store, s_h, state.s_hist[slot])
+    y_row = jnp.where(store, y_h, state.y_hist[slot])
     s_hist = state.s_hist.at[slot].set(s_row)
     y_hist = state.y_hist.at[slot].set(y_row)
     sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
@@ -202,8 +219,14 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # fp note: difference-built entries accumulate rounding over iterations;
     # the curvature-critical diagonals stay the direct tail reductions.
     if cfg.direction == "compact_incremental":
-        t1 = s_hist @ g_new            # next Sg (old rows unchanged; row slot
-        t2 = y_hist @ g_new            # already holds s/y when stored)
+        if t1_pre is not None:
+            # From the fused tail, computed over the PRE-update rows: rows
+            # other than slot are unchanged by the ring write, and the slot
+            # entries are overwritten from scalars below — identical result.
+            t1, t2 = t1_pre, t2_pre
+        else:
+            t1 = s_hist @ g_new        # next Sg (old rows unchanged; row slot
+            t2 = y_hist @ g_new        # already holds s/y when stored)
         sg_new_slot = alpha * dgn      # s.g_new, exact
         yg_new_slot = gg_new - ggn     # y_new.g_new
         Sg_next = jnp.where(store, t1.at[slot].set(sg_new_slot), t1)
@@ -280,27 +303,29 @@ def _running(cfg: LBFGSConfig, state: LBFGSState) -> Array:
 
 
 def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-                     state: LBFGSState, dir_poly=None) -> LBFGSState:
+                     state: LBFGSState, dir_poly=None,
+                     fused_tail=None) -> LBFGSState:
     """Run the while_loop from an arbitrary state (also used for resume from
     checkpoint).  Returns the terminal state with status finalized."""
     if cfg.record_trace:
-        return _solve_traced(cfg, f, vg, state, dir_poly)[0]
+        return _solve_traced(cfg, f, vg, state, dir_poly, fused_tail)[0]
     out = lax.while_loop(
         partial(_running, cfg),
-        lambda s: iterate(cfg, f, vg, s, dir_poly), state)
+        lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail), state)
     return out._replace(status=_finalize_status(cfg, out))
 
 
 def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-                  state: LBFGSState,
-                  dir_poly=None) -> Tuple[LBFGSState, Trace]:
+                  state: LBFGSState, dir_poly=None,
+                  fused_tail=None) -> Tuple[LBFGSState, Trace]:
     """Bounded lax.scan variant that records per-iteration metrics — the
     device-side replacement for the reference's per-iteration host logging
     (lbfgs.cpp:76-78), which forces a sync every step."""
 
     def body(s: LBFGSState, _):
         s_next = lax.cond(_running(cfg, s),
-                          lambda t: iterate(cfg, f, vg, t, dir_poly),
+                          lambda t: iterate(cfg, f, vg, t, dir_poly,
+                                            fused_tail),
                           lambda t: t, s)
         emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev, s_next.n_gev)
         return s_next, emit
@@ -329,13 +354,16 @@ def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
 
 
 def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
-             grad=None, value_and_grad=None, dir_poly=None) -> SolveResult:
+             grad=None, value_and_grad=None, dir_poly=None,
+             fused_tail=None) -> SolveResult:
     """Jit-compiled single-instance solve.  The public entry point matching
     the reference's ``LBFGS(f, grad, x0, line_search_method, ...)``
     (lbfgs.cpp:17-25) — but returning a structured result instead of printing.
 
     dir_poly: optional directional-polynomial coefficients fn for
     cfg.ls_eval="polynomial" (see problems.suite.Problem.dir_poly).
+    fused_tail: optional single-stream iteration tail
+    (problems.suite.fused_tail_for) — the fastest path for suite problems.
     """
     vg = make_value_and_grad(f, grad, value_and_grad)
 
@@ -343,9 +371,10 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
     def run(x0):
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         if cfg.record_trace:
-            out, trace = _solve_traced(cfg, f, vg, state, dir_poly)
+            out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
+                                       fused_tail)
             return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state, dir_poly)
+        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail)
         return _state_to_result(out, None)
 
     return run(jnp.asarray(x0))

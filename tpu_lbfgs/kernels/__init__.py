@@ -1,9 +1,12 @@
 from .pallas_ops import (
     FUSED_VG,
+    TAIL_BODIES,
     combine_direction,
+    fused_tail_jnp,
     fused_vg_coupled_quadratic,
     fused_vg_quadratic,
     fused_vg_rosenbrock,
     iteration_tail,
+    make_fused_tail,
     pallas_ok,
 )

@@ -273,6 +273,53 @@ def _global_index(j, shape):
     return (j * br + row) * lanes + col
 
 
+# --- per-problem value+gradient bodies -------------------------------------------
+# Shared between the fused_vg_* kernels (evaluate at the input x) and the
+# fused-tail kernel (evaluate at the in-kernel trial point x + alpha*d).
+# Signature: (xv, xp, xf, gidx, n) -> (f_blk, g_blk) where xp/xf are the
+# chain neighbours xv[i-1]/xv[i+1] (ignored by separable problems) and all
+# padded/boundary contributions are masked to zero.
+
+def _body_quadratic(xv, xp, xf, gidx, n):
+    valid = gidx < n
+    r = jnp.where(valid, xv - 1.0, 0.0)
+    return r * r, 2.0 * r
+
+
+def _body_rosenbrock(xv, xp, xf, gidx, n):
+    is_term = gidx < (n - 1)            # owns forward term i
+    is_valid = gidx < n
+    t = jnp.where(is_term, xf - xv * xv, 0.0)
+    e = jnp.where(is_term, 1.0 - xv, 0.0)
+    f_blk = 100.0 * t * t + e * e
+    # Inbound contribution from term i-1: 200*(x[i] - x[i-1]^2), 1 <= i <= n-1.
+    t_prev = jnp.where((gidx >= 1) & is_valid, xv - xp * xp, 0.0)
+    g_blk = jnp.where(is_term, 2.0 * (xv - 1.0) - 400.0 * xv * t, 0.0) \
+        + 200.0 * t_prev
+    return f_blk, g_blk
+
+
+def _body_coupled(xv, xp, xf, gidx, n):
+    coeff = 1000.0
+    is_term = gidx < (n - 1)
+    is_valid = gidx < n
+    xval = jnp.where(is_valid, xv, 0.0)
+    cross = jnp.where(is_term, xv * xf, 0.0)
+    f_blk = coeff * xval * xval + (coeff / 10.0) * cross
+    g_blk = 2.0 * coeff * xval \
+        + jnp.where(is_term, (coeff / 10.0) * xf, 0.0) \
+        + jnp.where((gidx >= 1) & is_valid, (coeff / 10.0) * xp, 0.0)
+    return f_blk, g_blk
+
+
+# (body, needs_halo): halo-free bodies never read xp/xf.
+TAIL_BODIES = {
+    "quadratic": (_body_quadratic, False),
+    "rosenbrock": (_body_rosenbrock, True),
+    "coupled_quadratic": (_body_coupled, True),
+}
+
+
 def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
     j = pl.program_id(0)
 
@@ -280,10 +327,11 @@ def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
     def _():
         acc_ref[0] = 0.0
 
-    valid = _global_index(j, x_ref.shape) < n_ref[0]
-    r = jnp.where(valid, x_ref[:] - 1.0, 0.0)
-    acc_ref[0] += jnp.sum(r * r)
-    g_ref[:] = 2.0 * r
+    x = x_ref[:]
+    f_blk, g_blk = _body_quadratic(x, x, x, _global_index(j, x.shape),
+                                   n_ref[0])
+    acc_ref[0] += jnp.sum(f_blk)
+    g_ref[:] = g_blk
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
@@ -299,23 +347,13 @@ def _vg_rosenbrock_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
         acc_ref[1] = 0.0   # carry: previous block's last element
 
     x = x_ref[:]
-    gidx = _global_index(j, x.shape)
-    n = n_ref[0]
-    is_term = gidx < (n - 1)            # owns forward term i
-    is_valid = gidx < n
-
-    xn = _shift_left(x, halo_ref[0, 0])
-    t = jnp.where(is_term, xn - x * x, 0.0)
-    one_minus = jnp.where(is_term, 1.0 - x, 0.0)
-    acc_ref[0] += jnp.sum(100.0 * t * t + one_minus * one_minus)
-
+    xf = _shift_left(x, halo_ref[0, 0])
     xp = _shift_right(x, acc_ref[1])
-    # Inbound contribution from term i-1: 200*(x[i] - x[i-1]^2), present when
-    # 1 <= i <= n-1.
-    t_prev = jnp.where((gidx >= 1) & is_valid, x - xp * xp, 0.0)
-    g_ref[:] = jnp.where(is_term, 2.0 * (x - 1.0) - 400.0 * x * t, 0.0) \
-        + 200.0 * t_prev
     acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
+    f_blk, g_blk = _body_rosenbrock(x, xp, xf, _global_index(j, x.shape),
+                                    n_ref[0])
+    acc_ref[0] += jnp.sum(f_blk)
+    g_ref[:] = g_blk
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
@@ -323,7 +361,6 @@ def _vg_rosenbrock_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
 
 
 def _vg_coupled_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
-    coeff = 1000.0
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -332,21 +369,13 @@ def _vg_coupled_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
         acc_ref[1] = 0.0
 
     x = x_ref[:]
-    gidx = _global_index(j, x.shape)
-    n = n_ref[0]
-    is_term = gidx < (n - 1)
-    is_valid = gidx < n
-
-    xn = _shift_left(x, halo_ref[0, 0])
-    xv = jnp.where(is_valid, x, 0.0)
-    cross = jnp.where(is_term, x * xn, 0.0)
-    acc_ref[0] += coeff * jnp.sum(xv * xv) + (coeff / 10.0) * jnp.sum(cross)
-
+    xf = _shift_left(x, halo_ref[0, 0])
     xp = _shift_right(x, acc_ref[1])
-    g_ref[:] = 2.0 * coeff * xv \
-        + jnp.where(is_term, (coeff / 10.0) * xn, 0.0) \
-        + jnp.where((gidx >= 1) & is_valid, (coeff / 10.0) * xp, 0.0)
     acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
+    f_blk, g_blk = _body_coupled(x, xp, xf, _global_index(j, x.shape),
+                                 n_ref[0])
+    acc_ref[0] += jnp.sum(f_blk)
+    g_ref[:] = g_blk
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
@@ -447,3 +476,225 @@ FUSED_VG = {
     "rosenbrock": fused_vg_rosenbrock,
     "coupled_quadratic": fused_vg_coupled_quadratic,
 }
+
+
+# -----------------------------------------------------------------------------
+# fused_tail: the ENTIRE post-line-search iteration in one HBM stream.
+#
+# Replaces four separate chains (trial point x+alpha*d -> materialize; vg at
+# x_new; iteration_tail; the compact_incremental matvecs S@g_new / Y@g_new)
+# with a single kernel that reads x, d, g and the (m, d) history once and
+# emits x_new, g_new, the (s, y) ring rows already in history dtype, all five
+# pair/convergence scalars, f(x_new), and the two history matvecs.  At
+# d=2^20, m=10, bf16 history this cuts per-iteration HBM traffic by ~25% and
+# collapses ~5 kernel dispatches into 1.
+#
+# Reference counterpart: updateSolution + host f/grad eval + updateVectors +
+# three cuBLAS Ddots + two more for the products, each a separate kernel
+# launch with host syncs (L-BFGS.cu:309-348).
+# -----------------------------------------------------------------------------
+
+def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
+                      hdtype, br: int):
+    def kernel(*refs):
+        n_ref, alpha_ref = refs[0], refs[1]
+        x_ref, d_ref, g_ref = refs[2:5]
+        k = 5
+        if needs_halo:
+            hx_ref, hd_ref = refs[k:k + 2]
+            k += 2
+        if with_matvec:
+            sh_ref, yh_ref = refs[k:k + 2]
+            k += 2
+        xnew_ref, gnew_ref, srow_ref, yrow_ref = refs[k:k + 4]
+        k += 4
+        f_o, sy_o, yy_o, gg_o, dgn_o, ggn_o = refs[k:k + 6]
+        k += 6
+        if with_matvec:
+            t1_ref, t2_ref = refs[k:k + 2]
+            k += 2
+        acc_ref = refs[k]
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for i in range(7):
+                acc_ref[i] = 0.0
+            if with_matvec:
+                t1_ref[:] = jnp.zeros((m, LANES), jnp.float32)
+                t2_ref[:] = jnp.zeros((m, LANES), jnp.float32)
+
+        alpha = alpha_ref[0]
+        n = n_ref[0]
+        x = x_ref[:]
+        dv = d_ref[:]
+        g = g_ref[:]
+        s = alpha * dv
+        xn = x + s
+        xnew_ref[:] = xn
+        srow_ref[:] = s.astype(hdtype)
+        gidx = _global_index(j, x.shape)
+        if needs_halo:
+            # Trial-point neighbours derived from the x/d halos: the carry
+            # holds the previous block's last x_new element.
+            nxt = hx_ref[0, 0] + alpha * hd_ref[0, 0]
+            xf = _shift_left(xn, nxt)
+            xp = _shift_right(xn, acc_ref[6])
+            acc_ref[6] = xn[br - 1, LANES - 1]
+        else:
+            xf = xn
+            xp = xn
+        f_blk, g_new = body(xn, xp, xf, gidx, n)
+        gnew_ref[:] = g_new
+        y = g_new - g
+        yrow_ref[:] = y.astype(hdtype)
+        acc_ref[0] += jnp.sum(f_blk)
+        acc_ref[1] += jnp.sum(s * y)
+        acc_ref[2] += jnp.sum(y * y)
+        acc_ref[3] += jnp.sum(g_new * g_new)
+        acc_ref[4] += jnp.sum(dv * g_new)
+        acc_ref[5] += jnp.sum(g * g_new)
+        if with_matvec:
+            # Lane-partial accumulation: reduce sublanes per block, keep the
+            # 128 lanes; the cross-lane finish happens outside the kernel.
+            for i in range(m):
+                si = sh_ref[i].astype(jnp.float32)
+                yi = yh_ref[i].astype(jnp.float32)
+                t1_ref[i, :] += jnp.sum(si * g_new, axis=0)
+                t2_ref[i, :] += jnp.sum(yi * g_new, axis=0)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            f_o[0, 0] = acc_ref[0]
+            sy_o[0, 0] = acc_ref[1]
+            yy_o[0, 0] = acc_ref[2]
+            gg_o[0, 0] = acc_ref[3]
+            dgn_o[0, 0] = acc_ref[4]
+            ggn_o[0, 0] = acc_ref[5]
+
+    return kernel
+
+
+def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
+                       with_matvec: bool):
+    body, needs_halo = TAIL_BODIES[problem]
+    dd = x.shape[0]
+    m = s_hist.shape[0]
+    hdtype = s_hist.dtype
+    # f32 history doubles the streamed block bytes; halve rows to keep the
+    # double-buffered VMEM footprint bounded.
+    br = BLOCK_ROWS if (not with_matvec or hdtype == jnp.bfloat16) \
+        else BLOCK_ROWS // 2
+    x2, d2, g2 = (_pad_rows(_as2d(v), br) for v in (x, d, g))
+    rows = x2.shape[0]
+    grid = rows // br
+    f32 = jnp.float32
+
+    blk = pl.BlockSpec((br, LANES), lambda j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    hblk = pl.BlockSpec((br, LANES), lambda j: (j, 0),
+                        memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [scal, scal, blk, blk, blk]
+    args = [jnp.asarray([dd], jnp.int32),
+            jnp.reshape(alpha.astype(f32), (1,)), x2, d2, g2]
+    if needs_halo:
+        halo_blocks = br // 8
+        last_halo = rows // 8 - 1
+        halo = pl.BlockSpec(
+            (8, LANES),
+            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
+            memory_space=pltpu.VMEM)
+        in_specs += [halo, halo]
+        args += [x2, d2]
+    if with_matvec:
+        s3 = s_hist.reshape(m, -1, LANES)
+        y3 = y_hist.reshape(m, -1, LANES)
+        pad = rows - s3.shape[1]
+        if pad:
+            s3 = jnp.pad(s3, ((0, 0), (0, pad), (0, 0)))
+            y3 = jnp.pad(y3, ((0, 0), (0, pad), (0, 0)))
+        hist_blk = pl.BlockSpec((m, br, LANES), lambda j: (0, j, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [hist_blk, hist_blk]
+        args += [s3, y3]
+
+    out_specs = [blk, blk, hblk, hblk] + [out_scal] * 6
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), f32),
+                 jax.ShapeDtypeStruct((rows, LANES), f32),
+                 jax.ShapeDtypeStruct((rows, LANES), hdtype),
+                 jax.ShapeDtypeStruct((rows, LANES), hdtype)] + \
+        [jax.ShapeDtypeStruct((1, 1), f32)] * 6
+    if with_matvec:
+        part = pl.BlockSpec((m, LANES), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+        out_specs += [part, part]
+        out_shape += [jax.ShapeDtypeStruct((m, LANES), f32)] * 2
+
+    outs = pl.pallas_call(
+        _make_tail_kernel(body, needs_halo, with_matvec, m, hdtype, br),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.SMEM((7,), f32)],
+        interpret=_interpret(),
+    )(*args)
+
+    unpad = lambda v: v.reshape(-1)[:dd]
+    xnew, gnew, srow, yrow = (unpad(v) for v in outs[:4])
+    f_new, sy, yy, gg, dgn, ggn = (v[0, 0] for v in outs[4:10])
+    if with_matvec:
+        t1 = jnp.sum(outs[10], axis=1)
+        t2 = jnp.sum(outs[11], axis=1)
+    else:
+        t1 = t2 = None
+    return xnew, f_new, gnew, srow, yrow, sy, yy, gg, dgn, ggn, t1, t2
+
+
+def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
+                   with_matvec: bool):
+    """Identical-semantics fallback built from the plain ops."""
+    hdtype = s_hist.dtype
+    s = alpha * d
+    x_new = x + s
+    f_new, g_new = vg_fn(x_new)
+    y = g_new - g
+    sy = jnp.vdot(s, y)
+    yy = jnp.vdot(y, y)
+    gg = jnp.vdot(g_new, g_new)
+    dgn = jnp.vdot(d, g_new)
+    ggn = jnp.vdot(g, g_new)
+    if with_matvec:
+        t1 = s_hist @ g_new
+        t2 = y_hist @ g_new
+    else:
+        t1 = t2 = None
+    return (x_new, f_new, g_new, s.astype(hdtype), y.astype(hdtype),
+            sy, yy, gg, dgn, ggn, t1, t2)
+
+
+def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,
+                    use_pallas: bool = True):
+    """Build the fused post-line-search tail for a suite problem.
+
+    Returns ``tail(x, d, alpha, g, s_hist, y_hist) -> (x_new, f_new, g_new,
+    s_row, y_row, sy, yy, gg, dgn, ggn, t1, t2)`` with s_row/y_row already in
+    history dtype and t1/t2 = S@g_new, Y@g_new over the *pre-update* history
+    (the slot entries are patched from scalars by the solver).  Dispatches to
+    the Pallas kernel when eligible, else to the jnp composition.
+    """
+    def tail(x, d, alpha, g, s_hist, y_hist):
+        eligible = (use_pallas and problem in TAIL_BODIES
+                    and pallas_ok(x, d, g)
+                    and s_hist.dtype in (jnp.float32, jnp.bfloat16))
+        if eligible:
+            return _fused_tail_pallas(problem, x, d, alpha, g,
+                                      s_hist, y_hist, with_matvec)
+        return fused_tail_jnp(vg_fallback, x, d, alpha, g,
+                              s_hist, y_hist, with_matvec)
+
+    return tail

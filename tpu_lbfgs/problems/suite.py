@@ -216,6 +216,19 @@ def fused_value_and_grad(name: str, use_pallas: bool = True):
     return lambda x: fn(x, use_pallas=use_pallas)
 
 
+def fused_tail_for(name: str, with_matvec: bool = True,
+                   use_pallas: bool = True):
+    """The fused post-line-search tail (trial point + f/grad + pair update +
+    scalar reductions + history matvecs in ONE HBM stream) for a suite
+    problem; pass as ``fused_tail=`` to minimize()/solve for the fastest
+    path.  Falls back to the identical-semantics jnp composition for
+    problems without a Pallas body or ineligible shapes/dtypes."""
+    from ..kernels import make_fused_tail
+
+    return make_fused_tail(name, fused_value_and_grad(name, use_pallas),
+                           with_matvec=with_matvec, use_pallas=use_pallas)
+
+
 def reference_x0(d: int, seed: int, low: float = -1000.0, high: float = 1000.0,
                  dtype=jnp.float64) -> Array:
     """Starting point matching the reference driver's initialization.
