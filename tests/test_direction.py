@@ -9,7 +9,7 @@ import pytest
 from tpu_lbfgs.config import LBFGSConfig
 from tpu_lbfgs.core.direction import compact_direction, two_loop_direction
 from tpu_lbfgs.oracle import _direction as oracle_direction
-from tpu_lbfgs.types import LBFGSState
+from tpu_lbfgs.types import LBFGSState, hist_block
 
 
 def _make_state(rng, d=32, m=6, n_pairs=None, spd=True):
@@ -43,7 +43,8 @@ def _make_state(rng, d=32, m=6, n_pairs=None, spd=True):
     state = LBFGSState(
         x=jnp.zeros(d), f=jnp.asarray(0.0), g=jnp.asarray(g),
         g_norm=jnp.asarray(np.linalg.norm(g)),
-        s_hist=jnp.asarray(s_hist), y_hist=jnp.asarray(y_hist),
+        s_hist=jnp.asarray(s_hist).reshape(m, *hist_block(d)),
+        y_hist=jnp.asarray(y_hist).reshape(m, *hist_block(d)),
         sy_hist=jnp.asarray(sy), yy_hist=jnp.asarray(yy),
         SY=jnp.asarray(s_hist @ y_hist.T), YY=jnp.asarray(y_hist @ y_hist.T),
         Sg=jnp.asarray(s_hist @ g), Yg=jnp.asarray(y_hist @ g),

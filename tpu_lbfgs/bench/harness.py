@@ -61,12 +61,22 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
     cfg = cfg or LBFGSConfig(line_search="backtracking", direction="compact")
     cfg = cfg.replace(max_iters=iters, tol=0.0)  # tol=0: never converge early
     p = get_problem(problem)
+    phi_batch = None
     if cfg.use_pallas:
-        from ..problems.suite import fused_tail_for, fused_value_and_grad
+        from ..problems.suite import (
+            fused_tail_for,
+            fused_value_and_grad,
+            multi_phi_for,
+        )
         vg = fused_value_and_grad(problem, use_pallas=True)
-        fused_tail = fused_tail_for(
-            problem, with_matvec=(cfg.direction == "compact_incremental"),
-            use_pallas=True)
+        # with_matvec=False: XLA's dot_general on the lane-tiled (m, R, 128)
+        # history beats the in-kernel VPU matvec (measured 6346 vs 6197 it/s
+        # at d=2^20); the kernel still fuses trial point + vg + pair update.
+        fused_tail = fused_tail_for(problem, with_matvec=False,
+                                    use_pallas=True)
+        if cfg.line_search == "backtracking_speculative" \
+                and cfg.ls_eval == "direct":
+            phi_batch = multi_phi_for(problem, use_pallas=True)
     else:
         vg = make_value_and_grad(p.f, p.grad)
         fused_tail = None
@@ -75,7 +85,8 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
     @jax.jit
     def run(x0):
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
-        return solve_from_state(cfg, p.f, vg, state, dir_poly, fused_tail)
+        return solve_from_state(cfg, p.f, vg, state, dir_poly, fused_tail,
+                                phi_batch)
 
     def sync(out):
         # NOTE: on the axon remote backend, jax.block_until_ready over the

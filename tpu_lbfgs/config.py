@@ -31,6 +31,7 @@ WOLFE_INTERP_MAX = 10.0
 
 LINE_SEARCH_METHODS = (
     "backtracking",
+    "backtracking_speculative",
     "backtracking_wolfe",
     "backtracking_wolfe_bisect",
     "armijo_interpolation",
@@ -116,6 +117,15 @@ class LBFGSConfig:
     # The solver bails when the line search returns alpha below this
     # (lbfgs.cpp:164-168).
     step_fail_tol: float = 1e-10
+    # Candidate-batch width for line_search="backtracking_speculative": the
+    # whole ladder alpha0 * shrink^[0..spec_width) is evaluated in ONE batched
+    # phi call per round.  The reference's paper describes evaluating
+    # "multiple step sizes in parallel" but its code never implements it
+    # (cuda_lbfgs.pdf §II vs the serial loop at L-BFGS-Backtracking.cu:314-341);
+    # on TPU the batched evaluation is a single fused pass over (x, d), so a
+    # full ladder costs ~one trial's HBM time.  The accepted alpha is
+    # bit-identical to sequential backtracking.
+    spec_width: int = 8
 
     # How line searches evaluate phi(alpha) = f(x + alpha*d):
     #   "direct"     — evaluate f (and grad for Wolfe) at each trial point;

@@ -82,6 +82,8 @@ def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
         use = valid
         bad_rho = jnp.any(valid & ~jnp.isfinite(rho))
 
+    blk = state.s_hist.shape[1:]                   # history rows are (R, L)
+
     # First loop: newest -> oldest.
     def first(q, idx):
         slot, r, u = idx
@@ -91,7 +93,7 @@ def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
         return q - a * y_i, a
 
     rev = (slots[::-1], rho[::-1], use[::-1])
-    q, alphas_rev = lax.scan(first, g, rev)
+    q, alphas_rev = lax.scan(first, g.reshape(blk), rev)
     alphas = alphas_rev[::-1]
 
     gamma = _gamma(state, m)
@@ -108,9 +110,10 @@ def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
         return r_acc + coeff * s_i, None
 
     r_vec, _ = lax.scan(second, r_vec, (slots, rho, use, alphas))
+    r_flat = r_vec.reshape(g.shape)
 
     fallback = bad_rho | bad_gamma | (state.hist_len == 0)
-    return jnp.where(fallback, -g, -r_vec)
+    return jnp.where(fallback, -g, -r_flat)
 
 
 def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
@@ -200,20 +203,23 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
 
 
 def compact_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
-    """Products recomputed from the (m, d) history every iteration."""
+    """Products recomputed from the (m, R, L) history every iteration."""
     dtype = state.g.dtype
-    # Expressed as d-axis contractions directly on the (m, d) buffers — no
-    # concatenated (2m, d) copy and no materialized Y^T (an (m, d) transpose
-    # copy per iteration); XLA shares the S/Y streams across the four
-    # contractions.  Under d-axis sharding this whole group is ONE fused
-    # all-reduce of ~(2m+2)m scalars.
-    dn_mm = (((1,), (1,)), ((), ()))   # (m,d) x (m,d) -> (m,m) over d
+    # Expressed as d-axis contractions directly on the (m, R, L) buffers — no
+    # concatenated copy and no materialized transpose; XLA shares the S/Y
+    # streams across the four contractions.  Under d-axis sharding this whole
+    # group is ONE fused all-reduce of ~(2m+2)m scalars.
+    dn_mm = (((1, 2), (1, 2)), ((), ()))   # (m,R,L) x (m,R,L) -> (m,m)
+    dn_mv = (((1, 2), (0, 1)), ((), ()))   # (m,R,L) x (R,L)   -> (m,)
+    g3 = state.g.reshape(state.s_hist.shape[1:])
     SY_p = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
                                preferred_element_type=dtype)
     YY_p = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
                                preferred_element_type=dtype)
-    Sg_p = state.s_hist @ state.g
-    Yg_p = state.y_hist @ state.g
+    Sg_p = jax.lax.dot_general(state.s_hist, g3, dn_mv,
+                               preferred_element_type=dtype)
+    Yg_p = jax.lax.dot_general(state.y_hist, g3, dn_mv,
+                               preferred_element_type=dtype)
     return _compact_core(cfg, state, SY_p, YY_p, Sg_p, Yg_p)
 
 

@@ -40,7 +40,7 @@ from jax import Array, lax
 from ..config import LBFGSConfig
 from ..kernels import iteration_tail
 from ..linesearch.strategies import get_line_search
-from ..types import LBFGSState, SolveResult, Status, Trace
+from ..types import LBFGSState, SolveResult, Status, Trace, hist_block
 from .direction import compute_direction_with_aux
 
 ObjFn = Callable[[Array], Array]
@@ -56,6 +56,7 @@ def init_state(vg: ValGradFn, x0: Array, m: int,
     dtype = x0.dtype
     hdtype = jnp.dtype(history_dtype) if history_dtype else dtype
     d = x0.shape[-1]
+    R, L = hist_block(d)
     f0, g0 = vg(x0)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     return LBFGSState(
@@ -63,8 +64,8 @@ def init_state(vg: ValGradFn, x0: Array, m: int,
         f=f0,
         g=g0,
         g_norm=jnp.sqrt(jnp.vdot(g0, g0)),
-        s_hist=jnp.zeros((m, d), hdtype),
-        y_hist=jnp.zeros((m, d), hdtype),
+        s_hist=jnp.zeros((m, R, L), hdtype),
+        y_hist=jnp.zeros((m, R, L), hdtype),
         sy_hist=jnp.ones((m,), dtype),
         yy_hist=jnp.ones((m,), dtype),
         SY=jnp.zeros((m, m), dtype),
@@ -95,13 +96,19 @@ def _polyder(coeffs: Array) -> Array:
 
 
 def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
-             dir_poly=None):
+             dir_poly=None, phi_batch=None):
     """Build the 1-D line-search interface phi / phi_dphi.
 
     "direct": each trial streams the full vector (trial point fused into the
     objective by XLA).  "polynomial": one fused pass over (x, d) yields the
     phi coefficients; trials are scalar Horner evaluations and phi' is the
     exact derivative polynomial — no gradient evaluations inside the search.
+
+    phi is vector-capable: called with a (K,) alpha batch it returns (K,)
+    values — Horner broadcasts natively; direct mode uses ``phi_batch``
+    (problems.suite.multi_phi_for: one fused pass evaluates all K trial
+    points) when provided, else a vmapped objective.  The speculative line
+    search relies on this.
     """
     if cfg.ls_eval == "polynomial":
         if dir_poly is None:
@@ -119,7 +126,12 @@ def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
         return phi, phi_dphi
 
     def phi(a):
-        return f(x + a * d)
+        a = jnp.asarray(a)
+        if a.ndim == 0:
+            return f(x + a * d)
+        if phi_batch is not None:
+            return phi_batch(x, d, a)
+        return jax.vmap(lambda aa: f(x + aa * d))(a)
 
     def phi_dphi(a):
         f_new, g_new = vg(x + a * d)
@@ -129,7 +141,8 @@ def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
 
 
 def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
-            state: LBFGSState, dir_poly=None, fused_tail=None) -> LBFGSState:
+            state: LBFGSState, dir_poly=None, fused_tail=None,
+            phi_batch=None) -> LBFGSState:
     """One unconditional L-BFGS iteration (assumes status == RUNNING).
 
     fused_tail: optional single-stream post-line-search tail (see
@@ -137,6 +150,8 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     replaces the x_new + vg + iteration_tail + history-matvec chain with one
     kernel.  Incompatible with cfg.accurate_dots (the fused kernel uses
     plain per-block accumulation).
+    phi_batch: optional batched trial evaluator (problems.suite.multi_phi_for)
+    used by the speculative line search under ls_eval="direct".
     """
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
@@ -159,7 +174,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
             u_phys=jnp.where(not_descent, zeros, aux.u_phys))
 
     # --- line search ----------------------------------------------------------
-    phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly)
+    phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly, phi_batch)
     line_search = get_line_search(cfg.line_search)
     ls = line_search(cfg, phi, phi_dphi, state.f, g_dot_d)
     alpha = ls.alpha
@@ -199,9 +214,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)
-    # Row-masked ring update: only slot's row moves, and only when storing.
-    s_row = jnp.where(store, s_h, state.s_hist[slot])
-    y_row = jnp.where(store, y_h, state.y_hist[slot])
+    # Row-masked ring update: only slot's (R, L) block moves, and only when
+    # storing.
+    blk = state.s_hist.shape[1:]
+    s_row = jnp.where(store, s_h.reshape(blk), state.s_hist[slot])
+    y_row = jnp.where(store, y_h.reshape(blk), state.y_hist[slot])
     s_hist = state.s_hist.at[slot].set(s_row)
     y_hist = state.y_hist.at[slot].set(y_row)
     sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
@@ -225,8 +242,14 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
             # entries are overwritten from scalars below — identical result.
             t1, t2 = t1_pre, t2_pre
         else:
-            t1 = s_hist @ g_new        # next Sg (old rows unchanged; row slot
-            t2 = y_hist @ g_new        # already holds s/y when stored)
+            # next Sg/Yg (old rows unchanged; row slot already holds s/y when
+            # stored); (m, R, L) x (R, L) -> (m,) over the row blocks.
+            gn3 = g_new.reshape(blk)
+            dn3 = (((1, 2), (0, 1)), ((), ()))
+            t1 = lax.dot_general(s_hist, gn3, dn3,
+                                 preferred_element_type=g_new.dtype)
+            t2 = lax.dot_general(y_hist, gn3, dn3,
+                                 preferred_element_type=g_new.dtype)
         sg_new_slot = alpha * dgn      # s.g_new, exact
         yg_new_slot = gg_new - ggn     # y_new.g_new
         Sg_next = jnp.where(store, t1.at[slot].set(sg_new_slot), t1)
@@ -304,20 +327,22 @@ def _running(cfg: LBFGSConfig, state: LBFGSState) -> Array:
 
 def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                      state: LBFGSState, dir_poly=None,
-                     fused_tail=None) -> LBFGSState:
+                     fused_tail=None, phi_batch=None) -> LBFGSState:
     """Run the while_loop from an arbitrary state (also used for resume from
     checkpoint).  Returns the terminal state with status finalized."""
     if cfg.record_trace:
-        return _solve_traced(cfg, f, vg, state, dir_poly, fused_tail)[0]
+        return _solve_traced(cfg, f, vg, state, dir_poly, fused_tail,
+                             phi_batch)[0]
     out = lax.while_loop(
         partial(_running, cfg),
-        lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail), state)
+        lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch),
+        state)
     return out._replace(status=_finalize_status(cfg, out))
 
 
 def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                   state: LBFGSState, dir_poly=None,
-                  fused_tail=None) -> Tuple[LBFGSState, Trace]:
+                  fused_tail=None, phi_batch=None) -> Tuple[LBFGSState, Trace]:
     """Bounded lax.scan variant that records per-iteration metrics — the
     device-side replacement for the reference's per-iteration host logging
     (lbfgs.cpp:76-78), which forces a sync every step."""
@@ -325,7 +350,7 @@ def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     def body(s: LBFGSState, _):
         s_next = lax.cond(_running(cfg, s),
                           lambda t: iterate(cfg, f, vg, t, dir_poly,
-                                            fused_tail),
+                                            fused_tail, phi_batch),
                           lambda t: t, s)
         emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev, s_next.n_gev)
         return s_next, emit
@@ -355,7 +380,7 @@ def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
 
 def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
              grad=None, value_and_grad=None, dir_poly=None,
-             fused_tail=None) -> SolveResult:
+             fused_tail=None, phi_batch=None) -> SolveResult:
     """Jit-compiled single-instance solve.  The public entry point matching
     the reference's ``LBFGS(f, grad, x0, line_search_method, ...)``
     (lbfgs.cpp:17-25) — but returning a structured result instead of printing.
@@ -372,9 +397,10 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         if cfg.record_trace:
             out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
-                                       fused_tail)
+                                       fused_tail, phi_batch)
             return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail)
+        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
+                               phi_batch)
         return _state_to_result(out, None)
 
     return run(jnp.asarray(x0))

@@ -47,9 +47,11 @@ def state_shardings(mesh: Mesh, d_axis: str = "d",
                     batch_axis: Optional[str] = None) -> LBFGSState:
     """Pytree of NamedShardings matching LBFGSState.
 
-    x, g: (d,) sharded on d_axis; history (m, d) sharded on axis 1; all
-    scalars and (m,) ring metadata replicated.  With batch_axis set, every
-    leaf gains a leading batch dimension sharded on that axis.
+    x, g: (d,) sharded on d_axis; history (m, R, L) sharded on the row-block
+    axis R (R-blocks of 128 elements partition d contiguously, exactly
+    aligned with the (d,) chunks); all scalars and (m,)/(m, m) ring metadata
+    replicated.  With batch_axis set, every leaf gains a leading batch
+    dimension sharded on that axis.
     """
     b = (batch_axis,) if batch_axis else ()
 
@@ -57,7 +59,7 @@ def state_shardings(mesh: Mesh, d_axis: str = "d",
         return NamedSharding(mesh, P(*b, *spec))
 
     vec = sh(d_axis)
-    hist = sh(None, d_axis)
+    hist = sh(None, d_axis, None)
     scalar = sh()
     small = sh(None)
     small2 = sh(None, None)

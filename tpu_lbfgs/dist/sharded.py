@@ -31,24 +31,31 @@ from .mesh import make_mesh, result_shardings, state_shardings
 
 
 def _pad_for_mesh(f, vg, x0, n_shards: int):
-    """Zero-pad x0 to a multiple of the shard count and wrap the objective to
+    """Zero-pad x0 to a multiple of 128 * n_shards and wrap the objective to
     ignore the padding.  Padded coordinates have exactly zero gradient, so
     they never move and the padded solve is step-for-step identical to the
     original (the line search, history, and all reductions see zeros there).
+
+    The 128 factor keeps the history in its lane-tiled (m, R, 128) layout
+    (types.hist_block) with the row-block axis R divisible by the mesh, so
+    the (d,) shards and the history R-shards cover identical element ranges.
     """
     d = x0.shape[-1]
-    d_pad = ((d + n_shards - 1) // n_shards) * n_shards
+    mult = 128 * n_shards
+    d_pad = ((d + mult - 1) // mult) * mult
     if d_pad == d:
         return f, vg, x0, d
     pad = d_pad - d
-    x0p = jnp.concatenate([x0, jnp.zeros((pad,), x0.dtype)])
+    zeros = jnp.zeros(x0.shape[:-1] + (pad,), x0.dtype)
+    x0p = jnp.concatenate([x0, zeros], axis=-1)
 
     def f_p(x):
-        return f(x[:d])
+        return f(x[..., :d])
 
     def vg_p(x):
-        val, g = vg(x[:d])
-        return val, jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
+        val, g = vg(x[..., :d])
+        return val, jnp.concatenate(
+            [g, jnp.zeros(g.shape[:-1] + (pad,), g.dtype)], axis=-1)
 
     return f_p, vg_p, x0p, d
 
@@ -93,7 +100,12 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
 
     res = run(make_state(x0))
     if res.x.shape[-1] != d_orig:
-        res = res._replace(x=res.x[:d_orig])
+        # Slice under jit so the unpadded result stays distributed (an eager
+        # slice of a sharded array gathers to replicated).
+        out_sh = NamedSharding(mesh, P(d_axis)) \
+            if d_orig % n_shards == 0 else None
+        slicer = jax.jit(lambda v: v[:d_orig], out_shardings=out_sh)
+        res = res._replace(x=slicer(res.x))
     return res
 
 
@@ -110,9 +122,13 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
                          "(make_mesh_2d)")
     vg = make_value_and_grad(f, grad, value_and_grad)
 
+    n_shards = int(mesh.shape[d_axis])
+    f, vg, x0_batch, d_orig = _pad_for_mesh(
+        f, vg, jnp.asarray(x0_batch), n_shards)
+
     st_sh = state_shardings(mesh, d_axis, batch_axis=batch_axis)
     x_sh = NamedSharding(mesh, P(batch_axis, d_axis))
-    x0_batch = jax.device_put(jnp.asarray(x0_batch), x_sh)
+    x0_batch = jax.device_put(x0_batch, x_sh)
     res_sh = result_shardings(mesh, d_axis, batch_axis=batch_axis)
 
     @partial(jax.jit, out_shardings=st_sh)
@@ -127,4 +143,10 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
 
         return jax.vmap(one)(states)
 
-    return run(make_states(x0_batch))
+    res = run(make_states(x0_batch))
+    if res.x.shape[-1] != d_orig:
+        out_sh = NamedSharding(mesh, P(batch_axis, d_axis)) \
+            if d_orig % n_shards == 0 else None
+        slicer = jax.jit(lambda v: v[..., :d_orig], out_shardings=out_sh)
+        res = res._replace(x=slicer(res.x))
+    return res

@@ -8,5 +8,6 @@ from .pallas_ops import (
     fused_vg_rosenbrock,
     iteration_tail,
     make_fused_tail,
+    make_multi_phi,
     pallas_ok,
 )

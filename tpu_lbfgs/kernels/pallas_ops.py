@@ -178,14 +178,23 @@ def _combine_rows(m: int) -> int:
     return max(64, min(1024, (rows // 64) * 64))
 
 
+def _hist3(s_hist: Array) -> Array:
+    """Normalize a history buffer to (m, R, L) (2D inputs accepted for
+    API compatibility; the solver stores 3D natively — see types.hist_block)."""
+    if s_hist.ndim == 2:
+        from ..types import hist_block
+        m, d = s_hist.shape
+        return s_hist.reshape(m, *hist_block(d))
+    return s_hist
+
+
 def _combine_pallas(g, s_hist, y_hist, v, u, gamma):
     dd = g.shape[0]
     m = s_hist.shape[0]
     COMBINE_ROWS = _combine_rows(m)
     g2 = _pad_rows(_as2d(g), COMBINE_ROWS)
     rows = g2.shape[0]
-    s3 = s_hist.reshape(m, -1, LANES)
-    y3 = y_hist.reshape(m, -1, LANES)
+    s3, y3 = s_hist, y_hist    # already (m, R, 128)
     pad = rows - s3.shape[1]
     if pad:
         s3 = jnp.pad(s3, ((0, 0), (0, pad), (0, 0)))
@@ -210,13 +219,18 @@ def _combine_pallas(g, s_hist, y_hist, v, u, gamma):
 
 
 def _combine_jnp(g, s_hist, y_hist, v, u, gamma):
-    return gamma * g + v @ s_hist - gamma * (u @ y_hist)
+    r3 = gamma * g.reshape(s_hist.shape[1:]) \
+        + jnp.tensordot(v, s_hist.astype(v.dtype), 1) \
+        - gamma * jnp.tensordot(u, y_hist.astype(u.dtype), 1)
+    return r3.reshape(g.shape)
 
 
 def combine_direction(g: Array, s_hist: Array, y_hist: Array, v: Array,
                       u: Array, gamma: Array, use_pallas: bool = True):
     """The compact representation's second pass over the history as one
-    stream (SURVEY.md §7 layer 6 item b)."""
+    stream (SURVEY.md §7 layer 6 item b).  History is (m, R, L) (2D inputs
+    normalized)."""
+    s_hist, y_hist = _hist3(s_hist), _hist3(y_hist)
     if use_pallas and pallas_ok(g, s_hist, y_hist):
         return _combine_pallas(g, s_hist, y_hist, v, u, gamma)
     return _combine_jnp(g, s_hist, y_hist, v, u, gamma)
@@ -317,6 +331,39 @@ TAIL_BODIES = {
     "quadratic": (_body_quadratic, False),
     "rosenbrock": (_body_rosenbrock, True),
     "coupled_quadratic": (_body_coupled, True),
+}
+
+
+# Value-only bodies for the multi-trial line-search kernel: only the FORWARD
+# neighbour xf is needed (no backward carry), so K trial points share one
+# stream of (x, d).
+
+def _f_quadratic(xv, xf, gidx, n):
+    valid = gidx < n
+    r = jnp.where(valid, xv - 1.0, 0.0)
+    return r * r
+
+
+def _f_rosenbrock(xv, xf, gidx, n):
+    is_term = gidx < (n - 1)
+    t = jnp.where(is_term, xf - xv * xv, 0.0)
+    e = jnp.where(is_term, 1.0 - xv, 0.0)
+    return 100.0 * t * t + e * e
+
+
+def _f_coupled(xv, xf, gidx, n):
+    coeff = 1000.0
+    is_term = gidx < (n - 1)
+    is_valid = gidx < n
+    xval = jnp.where(is_valid, xv, 0.0)
+    cross = jnp.where(is_term, xv * xf, 0.0)
+    return coeff * xval * xval + (coeff / 10.0) * cross
+
+
+F_BODIES = {
+    "quadratic": (_f_quadratic, False),
+    "rosenbrock": (_f_rosenbrock, True),
+    "coupled_quadratic": (_f_coupled, True),
 }
 
 
@@ -579,6 +626,7 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
 def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
                        with_matvec: bool):
     body, needs_halo = TAIL_BODIES[problem]
+    s_hist, y_hist = _hist3(s_hist), _hist3(y_hist)
     dd = x.shape[0]
     m = s_hist.shape[0]
     hdtype = s_hist.dtype
@@ -611,8 +659,7 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
         in_specs += [halo, halo]
         args += [x2, d2]
     if with_matvec:
-        s3 = s_hist.reshape(m, -1, LANES)
-        y3 = y_hist.reshape(m, -1, LANES)
+        s3, y3 = s_hist, y_hist    # (m, R, 128)
         pad = rows - s3.shape[1]
         if pad:
             s3 = jnp.pad(s3, ((0, 0), (0, pad), (0, 0)))
@@ -669,12 +716,114 @@ def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
     dgn = jnp.vdot(d, g_new)
     ggn = jnp.vdot(g, g_new)
     if with_matvec:
-        t1 = s_hist @ g_new
-        t2 = y_hist @ g_new
+        s3, y3 = _hist3(s_hist), _hist3(y_hist)
+        gn3 = g_new.reshape(s3.shape[1:])
+        dn = (((1, 2), (0, 1)), ((), ()))
+        t1 = jax.lax.dot_general(s3, gn3, dn,
+                                 preferred_element_type=g_new.dtype)
+        t2 = jax.lax.dot_general(y3, gn3, dn,
+                                 preferred_element_type=g_new.dtype)
     else:
         t1 = t2 = None
     return (x_new, f_new, g_new, s.astype(hdtype), y.astype(hdtype),
             sy, yy, gg, dgn, ggn, t1, t2)
+
+
+# -----------------------------------------------------------------------------
+# multi_phi: K line-search trial points evaluated in ONE pass over (x, d).
+#
+# The reference's paper proposes parallel step-size evaluation; its code
+# evaluates trials serially with a host round-trip each
+# (L-BFGS-Backtracking.cu:314-341).  Here phi(alpha_k) = f(x + alpha_k * d)
+# for all K candidates shares a single HBM stream: the VPU recomputes the
+# trial point per candidate in registers (~K * body-flops per element, still
+# under the v5e compute/bandwidth balance point at K <= ~8).
+# -----------------------------------------------------------------------------
+
+def _make_multi_phi_kernel(fbody, needs_halo: bool, K: int):
+    def kernel(*refs):
+        n_ref, alphas_ref, x_ref, d_ref = refs[:4]
+        k = 4
+        if needs_halo:
+            hx_ref, hd_ref = refs[k:k + 2]
+            k += 2
+        out_ref = refs[k]
+        acc_ref = refs[k + 1]
+
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for i in range(K):
+                acc_ref[i] = 0.0
+
+        n = n_ref[0]
+        x = x_ref[:]
+        dv = d_ref[:]
+        gidx = _global_index(j, x.shape)
+        for i in range(K):
+            a = alphas_ref[i]
+            xn = x + a * dv
+            if needs_halo:
+                xf = _shift_left(xn, hx_ref[0, 0] + a * hd_ref[0, 0])
+            else:
+                xf = xn
+            acc_ref[i] += jnp.sum(fbody(xn, xf, gidx, n))
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            for i in range(K):
+                out_ref[0, i] = acc_ref[i]
+
+    return kernel
+
+
+def _multi_phi_pallas(problem: str, x, d, alphas):
+    fbody, needs_halo = F_BODIES[problem]
+    K = alphas.shape[0]
+    dd = x.shape[0]
+    f32 = jnp.float32
+    x2, d2 = (_pad_rows(_as2d(v), BLOCK_ROWS) for v in (x, d))
+    rows = x2.shape[0]
+    blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+                       memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_scal = pl.BlockSpec((1, K), lambda j: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [scal, scal, blk, blk]
+    args = [jnp.asarray([dd], jnp.int32), alphas.astype(f32), x2, d2]
+    if needs_halo:
+        halo_blocks = BLOCK_ROWS // 8
+        last_halo = rows // 8 - 1
+        halo = pl.BlockSpec(
+            (8, LANES),
+            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
+            memory_space=pltpu.VMEM)
+        in_specs += [halo, halo]
+        args += [x2, d2]
+
+    out = pl.pallas_call(
+        _make_multi_phi_kernel(fbody, needs_halo, K),
+        grid=(rows // BLOCK_ROWS,),
+        in_specs=in_specs,
+        out_specs=out_scal,
+        out_shape=jax.ShapeDtypeStruct((1, K), f32),
+        scratch_shapes=[pltpu.SMEM((K,), f32)],
+        interpret=_interpret(),
+    )(*args)
+    return out[0]
+
+
+def make_multi_phi(problem: str, f_fallback, use_pallas: bool = True):
+    """Build ``phi_batch(x, d, alphas) -> (K,)`` evaluating f at all K trial
+    points x + alphas[k]*d in one fused pass (jnp fallback: vmap)."""
+    def phi_batch(x, d, alphas):
+        if (use_pallas and problem in F_BODIES and pallas_ok(x, d)
+                and x.dtype == jnp.float32):
+            return _multi_phi_pallas(problem, x, d, alphas)
+        return jax.vmap(lambda a: f_fallback(x + a * d))(alphas)
+
+    return phi_batch
 
 
 def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,

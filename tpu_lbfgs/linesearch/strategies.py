@@ -118,6 +118,62 @@ def backtracking(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
 
 
 # -----------------------------------------------------------------------------
+# 1b. Speculative (batched-candidate) Armijo backtracking
+# -----------------------------------------------------------------------------
+
+def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
+                             phi_dphi: PhiDphiFn, f_x: Array,
+                             g_dot_d: Array) -> LineSearchResult:
+    """Armijo backtracking with the candidate ladder evaluated in parallel.
+
+    The reference's paper proposes evaluating "multiple step sizes in
+    parallel" but every shipped loop is serial over alpha
+    (L-BFGS-Backtracking.cu:314-341).  Here each round evaluates the whole
+    ladder alpha_base * shrink^[0..K) with ONE vector phi call — under
+    ls_eval="polynomial" that is K Horner evaluations; under "direct" it is
+    one batched objective pass over (x, d) (a fused Pallas multi-trial
+    kernel for suite problems), which on a memory-bound TPU costs about the
+    same as a single trial.
+
+    The returned alpha is exactly sequential backtracking's: the first
+    ladder index that passes Armijo wins; the sequential loop's underflow
+    exit (shrunken alpha dips below backtracking_tol after a failed trial)
+    is reproduced per-candidate.  n_fev counts phi evaluations actually
+    performed (K per round), not the sequential-equivalent trial count.
+
+    Requires a vector-capable phi (solver.make_phi provides one in both
+    eval modes).
+    """
+    del phi_dphi
+    K = cfg.spec_width
+    dtype = f_x.dtype
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+    ladder = cfg.shrink ** jnp.arange(K, dtype=dtype)
+
+    def cond(carry):
+        _, done, _, _ = carry
+        return ~done
+
+    def body(carry):
+        base, _, _, n_fev = carry
+        alphas = base * ladder                       # (K,)
+        fs = phi(alphas)                             # one batched pass
+        accepts = _armijo_accept(cfg, f_x, fs, alphas, g_dot_d)
+        nexts = alphas * cfg.shrink
+        breaks = ~accepts & (nexts < cfg.backtracking_tol)
+        stop = accepts | breaks
+        any_stop = jnp.any(stop)
+        idx = jnp.argmax(stop)                       # first stop index
+        res = jnp.where(accepts[idx], alphas[idx], nexts[idx])
+        return (nexts[K - 1], any_stop, res, n_fev + K)
+
+    _, _, alpha, n_fev = lax.while_loop(
+        cond, body,
+        (alpha0, jnp.bool_(False), alpha0, _i32(0)))
+    return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
+
+
+# -----------------------------------------------------------------------------
 # 2. Backtracking-Wolfe (multiplicative shrink/grow)
 # -----------------------------------------------------------------------------
 
@@ -326,6 +382,7 @@ def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
 
 _STRATEGIES = {
     "backtracking": backtracking,
+    "backtracking_speculative": backtracking_speculative,
     "backtracking_wolfe": backtracking_wolfe,
     "backtracking_wolfe_bisect": backtracking_wolfe_bisect,
     "armijo_interpolation": armijo_interpolation,

@@ -216,6 +216,16 @@ def fused_value_and_grad(name: str, use_pallas: bool = True):
     return lambda x: fn(x, use_pallas=use_pallas)
 
 
+def multi_phi_for(name: str, use_pallas: bool = True):
+    """Batched line-search trial evaluator phi_batch(x, d, alphas) -> (K,):
+    all K trial objectives in one fused pass over (x, d).  Pass as
+    ``phi_batch=`` to minimize()/solve for line_search="backtracking_speculative"
+    under ls_eval="direct"."""
+    from ..kernels import make_multi_phi
+
+    return make_multi_phi(name, get_problem(name).f, use_pallas=use_pallas)
+
+
 def fused_tail_for(name: str, with_matvec: bool = True,
                    use_pallas: bool = True):
     """The fused post-line-search tail (trial point + f/grad + pair update +

@@ -10,10 +10,29 @@ donated between iterations.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 from jax import Array
+
+#: TPU vector-register lane width; the last dim of tiled arrays.
+LANES = 128
+
+
+def hist_block(d: int) -> Tuple[int, int]:
+    """(R, L) with R*L = d: the per-pair storage shape of the history ring.
+
+    History rows are stored as (R, 128) blocks rather than flat (d,) slices
+    of an (m, d) matrix because TPU HBM tiling pads the second-to-minor dim
+    to the sublane count (8 for f32, 16 for bf16): an (m=10, d) array
+    physically occupies 16 sublanes — 60% wasted bytes on EVERY history
+    stream, measured as ~80 us/iteration at d=2^20.  (m, R, 128) tiles the
+    (R, 128) trailing dims exactly; the leading m is just an array of tiles.
+    Falls back to (1, d) when d is not lane-aligned.
+    """
+    if d % LANES == 0 and d >= LANES:
+        return d // LANES, LANES
+    return 1, d
 
 
 class Status:
@@ -42,8 +61,9 @@ class LBFGSState(NamedTuple):
     g: Array          # (d,)   grad f(x)
     g_norm: Array     # ()     ||g||_2, computed fused with the gradient update
                       #        so the loop condition never re-reads g
-    s_hist: Array     # (m, d) s_p = x_{p+1} - x_p, ring-indexed
-    y_hist: Array     # (m, d) y_p = g_{p+1} - g_p, ring-indexed
+    s_hist: Array     # (m, R, L) s_p = x_{p+1} - x_p, ring-indexed; (R, L) =
+                      #          hist_block(d) — lane-tiled row storage
+    y_hist: Array     # (m, R, L) y_p = g_{p+1} - g_p, ring-indexed
     sy_hist: Array    # (m,)   s_p . y_p (rho denominators, precomputed on store)
     yy_hist: Array    # (m,)   y_p . y_p (gamma denominators, precomputed on store)
     # Incrementally-maintained history products (direction="compact_incremental"):
