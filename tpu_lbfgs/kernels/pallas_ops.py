@@ -165,8 +165,10 @@ def iteration_tail(x: Array, d: Array, alpha: Array, g: Array, g_new: Array,
 def _combine_kernel(gamma_ref, v_ref, u_ref, g_ref, s_ref, y_ref, r_ref):
     gamma = gamma_ref[0]
     acc = gamma * g_ref[:]
+    f32 = jnp.float32
     for k in range(s_ref.shape[0]):  # m is small & static: unrolled FMA chain
-        acc = acc + v_ref[k] * s_ref[k] - (gamma * u_ref[k]) * y_ref[k]
+        acc = acc + v_ref[k] * s_ref[k].astype(f32) \
+            - (gamma * u_ref[k]) * y_ref[k].astype(f32)
     r_ref[:] = acc
 
 
@@ -231,7 +233,9 @@ def combine_direction(g: Array, s_hist: Array, y_hist: Array, v: Array,
     stream (SURVEY.md §7 layer 6 item b).  History is (m, R, L) (2D inputs
     normalized)."""
     s_hist, y_hist = _hist3(s_hist), _hist3(y_hist)
-    if use_pallas and pallas_ok(g, s_hist, y_hist):
+    hist_ok = s_hist.dtype in (jnp.float32, jnp.bfloat16) \
+        and s_hist.shape[-1] % LANES == 0
+    if use_pallas and pallas_ok(g) and hist_ok:
         return _combine_pallas(g, s_hist, y_hist, v, u, gamma)
     return _combine_jnp(g, s_hist, y_hist, v, u, gamma)
 

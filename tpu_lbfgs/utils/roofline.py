@@ -69,17 +69,23 @@ class TrafficModel:
 
 def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                   avg_ls_trials: float = 2.2,
-                  obj_passes: float = 1.0) -> TrafficModel:
+                  obj_passes: float = 1.0,
+                  fused_tail: bool = None) -> TrafficModel:
     """Estimate HBM passes per iteration for a configuration.
 
     avg_ls_trials: measured average line-search trials per iteration
     (n_fev / iterations from a run); obj_passes: passes one objective
     evaluation costs beyond reading its input (1 for the suite's fused or
-    elementwise-chain objectives).
+    elementwise-chain objectives); fused_tail: whether the single-stream
+    tail kernel is active (defaults to cfg.use_pallas).
+
+    History passes assume the lane-tiled (m, R, 128) storage (zero tiling
+    waste — types.hist_block); a bfloat16 history pass costs 0.5
+    f32-equivalents.
     """
     m = cfg.m
-    # History-array passes are cheaper when the (m, d) ring is stored in a
-    # narrower dtype (cfg.history_dtype="bfloat16" -> 0.5 f32-equivalents).
+    if fused_tail is None:
+        fused_tail = cfg.use_pallas
     hw = 1.0
     if cfg.history_dtype is not None:
         import jax.numpy as jnp
@@ -99,15 +105,26 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
         p_ls = 2.0  # one (x, d) coefficient pass
     else:
         per_trial = 2.0 + obj_passes
-        if cfg.line_search in ("backtracking_wolfe",
-                               "backtracking_wolfe_bisect",
-                               "wolfe_interpolation"):
+        if cfg.line_search == "backtracking_speculative":
+            # the whole candidate ladder shares one (x, d) stream per round
+            per_trial = (2.0 + obj_passes) / max(avg_ls_trials, 1.0)
+        elif cfg.line_search in ("backtracking_wolfe",
+                                 "backtracking_wolfe_bisect",
+                                 "wolfe_interpolation"):
             per_trial += 1.0  # gradient per trial
         p_ls = per_trial * avg_ls_trials
         p_ls += 2.0  # direct mode reduces jnp.vdot(g, d) for phi'(0)
 
-    # x_new compute (read x, d, write x_new), fused tail (read x, d, g,
-    # g_new; write x_new, s, y), ring-row select+write (2 rows each way).
-    p_tail = 3.0 + 7.0 + 4.0 * hw
-    p_vg = 2.0 + obj_passes
-    return TrafficModel(p_dir, p_ls, p_tail, p_vg, d, dtype_bytes)
+    if fused_tail:
+        # One stream: read x, d, g; write x_new, g_new, s_row, y_row
+        # (rows in history dtype); f/grad computed in-kernel.
+        p_tail = 3.0 + 2.0 + 2.0 * hw
+        p_vg = 0.0
+        p_ring = 4.0 * hw        # conditional row select + write
+    else:
+        # x_new compute (read x, d, write x_new), vg at x_new, fused
+        # iteration_tail (read x, d, g, g_new; write x_new, s, y).
+        p_tail = 3.0 + 7.0
+        p_vg = 2.0 + obj_passes
+        p_ring = 4.0 * hw
+    return TrafficModel(p_dir, p_ls, p_tail + p_ring, p_vg, d, dtype_bytes)
