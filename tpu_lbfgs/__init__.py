@@ -21,7 +21,10 @@ from .core.solver import (
 )
 from .problems.suite import (
     Problem,
+    fused_tail_for,
+    fused_value_and_grad,
     get_problem,
+    multi_phi_for,
     problem_names,
     reference_x0,
     register_problem,
@@ -40,7 +43,10 @@ __all__ = [
     "Status",
     "Trace",
     "Problem",
+    "fused_tail_for",
+    "fused_value_and_grad",
     "get_problem",
+    "multi_phi_for",
     "problem_names",
     "reference_x0",
     "register_problem",

@@ -29,10 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--problem", default="rosenbrock",
                     help="rosenbrock | quadratic | coupled_quadratic | sphere")
     ap.add_argument("--dim", type=int, default=100_000)
+    from .config import LINE_SEARCH_METHODS
     ap.add_argument("--line-search", default="backtracking",
-                    choices=["backtracking", "backtracking_wolfe",
-                             "backtracking_wolfe_bisect",
-                             "armijo_interpolation", "wolfe_interpolation"])
+                    choices=list(LINE_SEARCH_METHODS))
     ap.add_argument("--direction", default="compact",
                     choices=["two_loop", "compact", "compact_incremental"])
     ap.add_argument("--fidelity", default="reference",
@@ -72,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "read out once post-solve, never syncing the device "
                          "loop (unlike lbfgs.cpp:76-78)")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="record a jax.profiler trace of the (post-warmup) "
+                         "solve into DIR (TensorBoard/Perfetto)")
     ap.add_argument("--device", default="default", choices=["default", "cpu"],
                     help="cpu forces the host backend (this environment's "
                          "sitecustomize ignores JAX_PLATFORMS)")
@@ -136,15 +138,34 @@ def main(argv=None) -> int:
             vg = (fused_value_and_grad(args.problem, use_pallas=True)
                   if args.pallas else None)
             dir_poly = p.dir_poly if args.poly_ls else None
+            fused_tail = phi_batch = None
+            if args.pallas:
+                from .problems.suite import fused_tail_for, multi_phi_for
+                fused_tail = fused_tail_for(args.problem, with_matvec=False,
+                                            use_pallas=True)
+                if cfg.line_search == "backtracking_speculative" \
+                        and cfg.ls_eval == "direct":
+                    phi_batch = multi_phi_for(args.problem, use_pallas=True)
             if args.shard:
                 from .dist import make_mesh, sharded_minimize
                 res = sharded_minimize(p.f, x0, cfg, mesh=make_mesh(),
                                        grad=None if vg else p.grad,
                                        value_and_grad=vg, dir_poly=dir_poly)
             else:
-                res = minimize(p.f, x0, cfg,
-                               grad=None if vg else p.grad,
-                               value_and_grad=vg, dir_poly=dir_poly)
+                solve = lambda: minimize(p.f, x0, cfg,
+                                         grad=None if vg else p.grad,
+                                         value_and_grad=vg, dir_poly=dir_poly,
+                                         fused_tail=fused_tail,
+                                         phi_batch=phi_batch)
+                if args.profile:
+                    from .utils.profiling import trace as profiler_trace
+                    res = solve()          # warmup/compile outside the trace
+                    t0 = time.perf_counter()
+                    with profiler_trace(args.profile):
+                        res = solve()
+                        float(res.f)
+                else:
+                    res = solve()
             wall = time.perf_counter() - t0
             if args.verbose and res.trace is not None:
                 k = int(res.iterations)

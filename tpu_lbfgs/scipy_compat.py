@@ -1,0 +1,96 @@
+"""Drop-in ``scipy.optimize.minimize``-style entry point.
+
+Users coming from the reference (or from SciPy's L-BFGS-B, which the
+reference's experiment notebook compares against) get the familiar
+signature; the solve itself is the jitted on-device solver.
+
+    from tpu_lbfgs.scipy_compat import minimize
+    res = minimize(f, x0, jac=grad, options={"maxiter": 500, "gtol": 1e-5})
+    res.x, res.fun, res.nit, res.success
+
+Differences from SciPy: bound constraints are not supported (the reference
+implements plain L-BFGS, not L-BFGS-B); ``jac=None`` uses jax.grad (exact,
+not finite differences).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LBFGSConfig
+from .core.solver import minimize as _minimize
+from .types import Status
+
+
+@dataclass
+class OptimizeResult:
+    """Mirrors scipy.optimize.OptimizeResult's common fields."""
+    x: np.ndarray
+    fun: float
+    jac: Optional[np.ndarray]
+    nfev: int
+    njev: int
+    nit: int
+    status: int
+    success: bool
+    message: str
+    extra: dict = field(default_factory=dict)
+
+    def __getitem__(self, key: str) -> Any:   # scipy allows dict access
+        return getattr(self, key)
+
+
+_MESSAGES = {
+    Status.CONVERGED: "CONVERGENCE: GRADIENT NORM BELOW GTOL",
+    Status.MAX_ITERS: "STOP: TOTAL NO. of ITERATIONS REACHED LIMIT",
+    Status.LINE_SEARCH_FAILED: "ABNORMAL TERMINATION IN LNSRCH",
+}
+
+
+def minimize(fun: Callable, x0, args=(), method: str = "tpu-lbfgs",
+             jac: Optional[Callable] = None, tol: Optional[float] = None,
+             options: Optional[dict] = None,
+             config: Optional[LBFGSConfig] = None) -> OptimizeResult:
+    """SciPy-shaped wrapper around the TPU solver.
+
+    options: maxiter (default 1000), gtol (||g|| tolerance, default 1e-5),
+    maxcor (history depth m, default 10), linesearch (any
+    config.LINE_SEARCH_METHODS name), plus any LBFGSConfig field by name.
+    ``config`` overrides everything when given.
+    """
+    if method.lower() not in ("tpu-lbfgs", "l-bfgs", "lbfgs"):
+        raise ValueError(f"unsupported method {method!r}")
+    opts = dict(options or {})
+    if config is None:
+        cfg_kw = dict(
+            max_iters=int(opts.pop("maxiter", 1000)),
+            tol=float(opts.pop("gtol", tol if tol is not None else 1e-5)),
+            m=int(opts.pop("maxcor", 10)),
+            line_search=opts.pop("linesearch", "backtracking"),
+            fidelity=opts.pop("fidelity", "fixed"),
+        )
+        cfg_kw.update(opts)           # any remaining LBFGSConfig field
+        config = LBFGSConfig(**cfg_kw)
+
+    if args:
+        base_f, base_j = fun, jac
+        fun = lambda x: base_f(x, *args)
+        jac = (lambda x: base_j(x, *args)) if base_j else None
+
+    res = _minimize(fun, jnp.asarray(x0), config, grad=jac)
+    status = int(res.status)
+    return OptimizeResult(
+        x=np.asarray(res.x),
+        fun=float(res.f),
+        jac=None,
+        nfev=int(res.n_fev),
+        njev=int(res.n_gev),
+        nit=int(res.iterations),
+        status=status,
+        success=status == Status.CONVERGED,
+        message=_MESSAGES.get(status, Status.NAMES.get(status, "unknown")),
+        extra={"g_norm": float(res.g_norm)},
+    )
