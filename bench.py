@@ -47,14 +47,15 @@ def main():
     # d = 2^20 ("1e6-class"): an exact Pallas-block multiple so the fused
     # kernels run without padding copies.  Fastest measured stack:
     # incremental compact direction + polynomial line search + Pallas fused
-    # vg/tail + bfloat16 history storage (see README performance table).
+    # vg/tail + f32 lane-tiled history (see README performance table;
+    # bfloat16 history measured SLOWER under the lane-tiled layout — the
+    # convert work outweighs the bandwidth savings).
     # 1000 timed iterations: the axon tunnel adds ~27-30ms of fixed per-call
     # dispatch; 200-iter runs under-report steady-state throughput by ~25%.
     d = 1 << 20
     cfg = LBFGSConfig(line_search="backtracking",
                       direction="compact_incremental", m=10,
-                      use_pallas=True, ls_eval="polynomial",
-                      history_dtype="bfloat16")
+                      use_pallas=True, ls_eval="polynomial")
 
     tpu = bench_tpu(problem="rosenbrock", d=d, iters=1000, cfg=cfg,
                     dtype=jnp.float32, repeats=3)
@@ -71,7 +72,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
         "tpu_wall_s_1000it": round(tpu.wall_s, 4),
-        "config": "backtracking/compact_incremental/poly-ls/pallas/bf16-hist/m=10",
+        "config": "backtracking/compact_incremental/poly-ls/pallas/m=10",
     }))
 
 

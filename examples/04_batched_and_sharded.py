@@ -1,0 +1,41 @@
+"""Scaling out: vmapped instance batches and mesh-sharded giant instances.
+
+The reference is single-process single-GPU (SURVEY.md §2 parallelism
+inventory); these are the two TPU-native scaling axes:
+
+  - batch axis:  thousands of independent problem instances per chip (vmap)
+  - vector axis: one giant instance sharded over a device mesh, every
+    reduction compiled to local partials + psum over ICI
+
+Run:  python examples/04_batched_and_sharded.py
+(on CPU it uses the virtual-device mesh; set
+ XLA_FLAGS=--xla_force_host_platform_device_count=8 to see 8-way sharding)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpu_lbfgs as tl
+from tpu_lbfgs.batch import vmap_minimize
+from tpu_lbfgs.dist import make_mesh, sharded_minimize
+
+p = tl.get_problem("rosenbrock")
+cfg = tl.LBFGSConfig(line_search="backtracking",
+                     direction="compact_incremental",
+                     max_iters=500, tol=1e-4)
+
+# --- 1. batch of independent instances (one jitted program, all lanes) ------
+B, d = 256, 512
+x0s = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (B, d)), jnp.float32)
+res = vmap_minimize(p.f, x0s, cfg, grad=p.grad)
+conv = int(jnp.sum(res.status == tl.Status.CONVERGED))
+print(f"batch: {conv}/{B} converged, "
+      f"median iters = {int(jnp.median(res.iterations))}")
+
+# --- 2. one giant instance sharded over every device ------------------------
+mesh = make_mesh()                       # 1-D mesh over jax.devices()
+big = jnp.full((1 << 16,), -1.2, jnp.float32)
+res = sharded_minimize(p.f, big, cfg, mesh=mesh, grad=p.grad)
+print(f"sharded over {len(mesh.devices.ravel())} device(s): "
+      f"{tl.Status.NAMES[int(res.status)]} in {int(res.iterations)} iters, "
+      f"||g|| = {float(res.g_norm):.2e}")

@@ -27,7 +27,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu_lbfgs.bench")
     ap.add_argument("--out", default="bench_results.json")
     ap.add_argument("--d", type=int, default=1 << 20)
-    ap.add_argument("--iters", type=int, default=200)
+    # 1000 iters/call amortizes the tunnel's ~28ms fixed dispatch cost
+    # (PERFORMANCE.md protocol note).
+    ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--per-config-timeout", type=int, default=300)
     ap.add_argument("--quick", action="store_true",
                     help="3 key configs only")
@@ -56,9 +58,13 @@ def main(argv=None) -> int:
         ("wolfe/poly", base.replace(
             direction="compact_incremental", ls_eval="polynomial",
             line_search="wolfe_interpolation", c2=0.9, use_pallas=True)),
+        ("spec-ls/direct+pallas/bf16", base.replace(
+            direction="compact_incremental",
+            line_search="backtracking_speculative",
+            use_pallas=True, history_dtype="bfloat16")),
     ]
     if args.quick:
-        configs = [configs[1], configs[3], configs[4]]
+        configs = [configs[1], configs[4], configs[7]]
 
     signal.signal(signal.SIGALRM, _alarm)
     rows = []

@@ -120,8 +120,13 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
 
 def bench_cpu_native(problem: str = "rosenbrock", d: int = 1_000_000,
                      iters: int = 20, cfg: Optional[LBFGSConfig] = None,
-                     seeds=REFERENCE_SEEDS[:1]) -> BenchResult:
-    """Fixed-iteration throughput of the C++ oracle (the CPU baseline)."""
+                     seeds=REFERENCE_SEEDS[:1], repeats: int = 3) -> BenchResult:
+    """Fixed-iteration throughput of the C++ oracle (the CPU baseline).
+
+    Best-of-repeats per seed: the shared host CPU shows >2x noisy-neighbor
+    variance across single runs, and the baseline should reflect the
+    machine's actual capability (best-of is also the conservative choice
+    for the vs_baseline ratio)."""
     from ..native import native_lbfgs
 
     cfg = cfg or LBFGSConfig(line_search="backtracking")
@@ -130,9 +135,12 @@ def bench_cpu_native(problem: str = "rosenbrock", d: int = 1_000_000,
     r = None
     for seed in seeds:
         x0 = np.asarray(_x0(problem, d, seed, jnp.float64))
-        t0 = time.perf_counter()
-        r = native_lbfgs(problem, x0, cfg)
-        per_seed.append(time.perf_counter() - t0)
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            r = native_lbfgs(problem, x0, cfg)
+            best = min(best, time.perf_counter() - t0)
+        per_seed.append(best)
     wall = float(np.mean(per_seed))
     return BenchResult(
         name=f"cpu-native/{problem}/d={d}/{cfg.line_search}",
