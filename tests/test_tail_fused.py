@@ -48,7 +48,7 @@ def test_pallas_matches_jnp(problem, hdtype, with_matvec):
     out = _fused_tail_pallas(problem, x, dv, alpha, g, S, Y, with_matvec)
 
     names = ["x_new", "f_new", "g_new", "s_row", "y_row",
-             "sy", "yy", "gg", "dgn", "ggn", "t1", "t2"]
+             "sy", "yy", "gg", "dgn", "ggn", "ygn", "t1", "t2"]
     for name, a, b in zip(names, out, ref):
         if a is None:
             assert b is None
@@ -101,22 +101,31 @@ def test_solver_trajectory_matches_unfused(hdtype):
     assert int(s_a.n_pairs) == int(s_b.n_pairs)
 
 
-def test_fused_tail_old_rows_semantics():
-    """t1/t2 from the fused tail are over PRE-update rows; after the solver
-    patches the slot entries from scalars, Sg/Yg match a direct contraction
-    with the post-update history."""
+def test_fused_tail_incremental_update_semantics():
+    """t1/t2 from the fused tail are S@y_new / Y@y_new over PRE-update rows;
+    the solver's additive updates plus exact slot patches must reproduce a
+    direct contraction with the post-update history and g_new."""
     d, m = 256, 3
     x, dv, alpha, g, S, Y = _inputs(d, m, jnp.float32, seed=2)
     p = get_problem("quadratic")
     vg = make_value_and_grad(p.f, p.grad)
     out = fused_tail_jnp(vg, x, dv, alpha, g, S, Y, True)
-    (x_new, f_new, g_new, s_row, y_row, sy, yy, gg, dgn, ggn, t1, t2) = out
+    (x_new, f_new, g_new, s_row, y_row, sy, yy, gg, dgn, ggn, ygn,
+     t1, t2) = out
     slot = 1
     S2 = S.at[slot].set(s_row)
     Y2 = Y.at[slot].set(y_row)
-    t1_patched = t1.at[slot].set(alpha * dgn)
-    t2_patched = t2.at[slot].set(gg - ggn)
-    np.testing.assert_allclose(np.asarray(S2 @ g_new),
-                               np.asarray(t1_patched), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(Y2 @ g_new),
-                               np.asarray(t2_patched), rtol=1e-5, atol=1e-5)
+    Sg_old, Yg_old = S @ g, Y @ g
+    Sg_next = (Sg_old + t1).at[slot].set(alpha * dgn)
+    Yg_next = (Yg_old + t2).at[slot].set(ygn)
+    np.testing.assert_allclose(np.asarray(S2 @ g_new), np.asarray(Sg_next),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Y2 @ g_new), np.asarray(Yg_next),
+                               rtol=1e-4, atol=1e-4)
+    # New SY / YY column against y_new, with exact diagonals.
+    SY_col = t1.at[slot].set(sy)
+    YY_col = t2.at[slot].set(yy)
+    np.testing.assert_allclose(np.asarray(S2 @ y_row), np.asarray(SY_col),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Y2 @ y_row), np.asarray(YY_col),
+                               rtol=1e-4, atol=1e-4)

@@ -87,6 +87,23 @@ def main(argv=None) -> int:
         finally:
             signal.alarm(0)
 
+    # BASELINE.json config 4: 4096 independent d=1e3-class instances vmapped.
+    signal.alarm(args.per_config_timeout)
+    try:
+        from .harness import bench_batch
+        rb = bench_batch(batch=4096, d=1024, iters=200)
+        rows.append({"config": "batch-4096xd1024",
+                     "instance_iters_per_s": round(rb.iters_per_s, 1),
+                     "wall_s": round(rb.wall_s, 4)})
+        print(f"{'batch-4096xd1024':28s} {rb.iters_per_s:12,.0f} inst-it/s")
+    except _Timeout:
+        rows.append({"config": "batch-4096xd1024", "error": "timeout"})
+    except Exception as e:  # noqa: BLE001
+        rows.append({"config": "batch-4096xd1024",
+                     "error": f"{type(e).__name__}: {e}"})
+    finally:
+        signal.alarm(0)
+
     signal.alarm(args.per_config_timeout)
     try:
         cpu = bench_cpu_native(d=args.d, iters=20,

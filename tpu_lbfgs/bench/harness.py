@@ -150,6 +150,58 @@ def bench_cpu_native(problem: str = "rosenbrock", d: int = 1_000_000,
                  "n_gev": r["n_gev"]})
 
 
+def bench_batch(problem: str = "rosenbrock", batch: int = 4096,
+                d: int = 1024, iters: int = 200,
+                cfg: Optional[LBFGSConfig] = None, dtype=jnp.float32,
+                seed: int = 42, repeats: int = 3) -> BenchResult:
+    """BASELINE.json config 4: thousands of independent instances vmapped in
+    lockstep per chip (the reference has no batch story at all — SURVEY.md
+    §2 parallelism inventory).  Reports INSTANCE-iterations/s = batch * iters
+    / wall.  d defaults to 1024 (the 1e3-class size, lane-aligned so the
+    per-instance history keeps the tiled (m, R, 128) layout)."""
+    from ..core.solver import iterate
+
+    # fidelity="fixed" (textbook: broke searches fail instead of stepping
+    # untested) + GPU-reference pair skip: keeps every f32 lane finite —
+    # see tests/test_robustness.py for the failure chain this avoids.
+    cfg = cfg or LBFGSConfig(line_search="backtracking",
+                             direction="compact_incremental",
+                             ls_eval="polynomial", fidelity="fixed",
+                             pair_skip_threshold=1e-10)
+    cfg = cfg.replace(max_iters=iters, tol=0.0)
+    p = get_problem(problem)
+    vg = make_value_and_grad(p.f, p.grad)
+    dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
+
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, d)), dtype)
+
+    @jax.jit
+    def run(x0s):
+        def solve_one(x0):
+            st = init_state(vg, x0, cfg.m, cfg.history_dtype)
+            return solve_from_state(cfg, p.f, vg, st, dir_poly)
+        return jax.vmap(solve_one)(x0s)
+
+    def sync(out):
+        return float(jnp.sum(out.f))
+
+    out = run(x0s)
+    sync(out)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(x0s)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return BenchResult(
+        name=f"tpu-batch/{problem}/B={batch}/d={d}/{cfg.line_search}",
+        iters_per_s=batch * iters / best, wall_s=best, iterations=iters,
+        final_f=float(jnp.mean(out.f)),
+        final_g_norm=float(jnp.max(out.g_norm)),
+        details={"batch": batch, "per_instance_iters_per_s": iters / best})
+
+
 def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
                       tol: float = 1e-5, max_iters: int = 20000,
                       cfg: Optional[LBFGSConfig] = None,

@@ -105,6 +105,15 @@ class LBFGSConfig:
     #             history traffic.  fp drift accumulates in the off-diagonal
     #             products; diagonals stay exact.
     direction: str = "two_loop"
+    # compact_incremental only: every K iterations, recompute SY/YY/Sg/Yg
+    # from the stored history, bounding the additive f32 drift in Sg/Yg.
+    # WARNING: XLA-TPU executes both lax.cond branches inside the solver
+    # loop, so the refresh contractions run EVERY iteration — measured 7x
+    # slower at d=2^20 regardless of K.  Leave None (default) unless running
+    # very long small-d solves; the no-cancellation incremental updates
+    # (u1 = S@y_new directly) plus the curvature pair-skip already keep
+    # every observed f32 workload finite (tests/test_robustness.py).
+    refresh_interval: Optional[int] = None
     # When set, the two-loop individually skips pairs with sy <= threshold —
     # the GPU reference's behavior (L-BFGS.cu:222-223, threshold 1e-10).  When
     # None, any non-finite rho aborts the whole direction to steepest descent —

@@ -151,6 +151,13 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
     # --- permute the small quantities into logical (chronological) order -----
     SY = SY_p[slots][:, slots]
     YY = YY_p[slots][:, slots]
+    if cfg.pair_skip_threshold is not None:
+        # GPU-reference semantics (L-BFGS.cu:222-223) extended to the compact
+        # formulation: individually mask low-curvature pairs.  Without this a
+        # pair with sy ~ 1e-20 (accepted by the CPU rule sy > 0) puts a
+        # near-zero pivot on R's diagonal and the triangular solve emits an
+        # astronomically large — but finite — direction.
+        valid = valid & (jnp.diagonal(SY) > cfg.pair_skip_threshold)
     p1 = jnp.where(valid, Sg_p[slots], 0.0)
     p2 = jnp.where(valid, Yg_p[slots], 0.0)
 

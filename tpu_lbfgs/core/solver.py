@@ -164,14 +164,6 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     not_descent = g_dot_d >= 0
     d = jnp.where(not_descent, -g, d)
     g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)
-    if aux is not None:
-        # Safeguard flip means d = -g, i.e. coefficients (1, 0, 0).
-        one = jnp.asarray(1.0, d.dtype)
-        zeros = jnp.zeros_like(aux.v_phys)
-        aux = aux._replace(
-            gamma=jnp.where(not_descent, one, aux.gamma),
-            v_phys=jnp.where(not_descent, zeros, aux.v_phys),
-            u_phys=jnp.where(not_descent, zeros, aux.u_phys))
 
     # --- line search ----------------------------------------------------------
     phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly, phi_batch)
@@ -180,13 +172,14 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     alpha = ls.alpha
 
     # --- trial point & failure bail (lbfgs.cpp:159-168) ----------------------
-    failed = alpha < cfg.step_fail_tol
+    step_failed = alpha < cfg.step_fail_tol
     hdtype = state.s_hist.dtype
     t1_pre = t2_pre = None
     if fused_tail is not None:
         # Single HBM stream: x_new, f_new, g_new, ring rows (history dtype),
-        # all pair/convergence scalars, and the pre-update history matvecs.
-        (x_new, f_new, g_new, s_h, y_h, sy, yy, gg_new, dgn, ggn,
+        # all pair/convergence scalars, and the pre-update history matvecs
+        # against y_new.
+        (x_new, f_new, g_new, s_h, y_h, sy, yy, gg_new, dgn, ggn, ygn,
          t1_pre, t2_pre) = fused_tail(x, d, alpha, g,
                                       state.s_hist, state.y_hist)
     else:
@@ -206,11 +199,22 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
             gg_new = compensated_dot(g_new, g_new)
             dgn = compensated_dot(d, g_new)
             ggn = compensated_dot(g, g_new)
+            ygn = compensated_dot(y, g_new)
         else:
             x_new, s, y, sy, yy, gg_new, dgn, ggn = iteration_tail(
                 x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
+            ygn = jnp.vdot(y, g_new)   # y_new.g_new (exact; fuses into the
+            #                            tail's read of y/g_new)
         s_h = s.astype(hdtype)
         y_h = y.astype(hdtype)
+    # Non-finite trial rejection: under ls_eval="polynomial" the acceptance
+    # decisions use the closed-form phi, whose f32 evaluation can misjudge a
+    # knife-edge step that sends the TRUE f to inf/nan (observed on ~4/4096
+    # vmapped Rosenbrock lanes); under fidelity="reference" the sign-flipped
+    # Armijo (line_search.cpp:24) can accept genuine increases.  The C++
+    # reference would silently continue on garbage; here the lane freezes at
+    # its last finite state with LINE_SEARCH_FAILED.
+    failed = step_failed | ~jnp.isfinite(f_new) | ~jnp.isfinite(gg_new)
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)
@@ -226,47 +230,41 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     # --- incremental history products (direction="compact_incremental") -----
     # Maintains SY = S.Y', YY = Y.Y', Sg = S.g, Yg = Y.g across iterations so
-    # the direction never re-contracts the (m, d) history.  New entries come
-    # from gradient differences and small-matrix identities:
-    #   s.g_new       = alpha * (d.g_new)              [tail scalar dgn]
-    #   y_new.g_new   = ||g_new||^2 - g.g_new          [gg_new - ggn]
-    #   s_i.y_new     = s_i.g_new - s_i.g              [t1 - Sg_old]
-    #   y_i.y_new     = y_i.g_new - y_i.g              [t2 - Yg_old]
-    #   s_new.y_j     = alpha * (Y d)[j],  Y d = -(gamma Yg + SY'v - gamma YY u)
-    # fp note: difference-built entries accumulate rounding over iterations;
-    # the curvature-critical diagonals stay the direct tail reductions.
+    # the direction never re-contracts the (m, d) history against g; the one
+    # fresh contraction per iteration is against the new curvature pair
+    # (u1 = S@y_new, u2 = Y@y_new).  An earlier formulation built s_i.y_new
+    # as (S@g_new) - (S@g): catastrophic cancellation when ||y|| << ||g||,
+    # observed as degenerate directions on ~1/1000 f32 Rosenbrock lanes.
     if cfg.direction == "compact_incremental":
         if t1_pre is not None:
-            # From the fused tail, computed over the PRE-update rows: rows
+            # From the fused tail, contracted over the PRE-update rows: rows
             # other than slot are unchanged by the ring write, and the slot
             # entries are overwritten from scalars below — identical result.
-            t1, t2 = t1_pre, t2_pre
+            u1, u2 = t1_pre, t2_pre
         else:
-            # next Sg/Yg (old rows unchanged; row slot already holds s/y when
-            # stored); (m, R, L) x (R, L) -> (m,) over the row blocks.
-            gn3 = g_new.reshape(blk)
+            # One fresh contraction per iteration, against the new pair:
+            # u1 = S @ y_new, u2 = Y @ y_new over the (R, L) row blocks.
+            y3 = y_h.astype(g.dtype).reshape(blk)
             dn3 = (((1, 2), (0, 1)), ((), ()))
-            t1 = lax.dot_general(s_hist, gn3, dn3,
-                                 preferred_element_type=g_new.dtype)
-            t2 = lax.dot_general(y_hist, gn3, dn3,
-                                 preferred_element_type=g_new.dtype)
-        sg_new_slot = alpha * dgn      # s.g_new, exact
-        yg_new_slot = gg_new - ggn     # y_new.g_new
-        Sg_next = jnp.where(store, t1.at[slot].set(sg_new_slot), t1)
-        Yg_next = jnp.where(store, t2.at[slot].set(yg_new_slot), t2)
+            u1 = lax.dot_general(state.s_hist, y3, dn3,
+                                 preferred_element_type=g.dtype)
+            u2 = lax.dot_general(state.y_hist, y3, dn3,
+                                 preferred_element_type=g.dtype)
+        # Sg/Yg advance additively: s_i.g_new = s_i.g + s_i.y_new; the slot
+        # entries come from the exact tail reductions.
+        Sg_next = state.Sg + u1
+        Yg_next = state.Yg + u2
+        Sg_next = jnp.where(store, Sg_next.at[slot].set(alpha * dgn), Sg_next)
+        Yg_next = jnp.where(store, Yg_next.at[slot].set(ygn), Yg_next)
 
-        Yd = -(aux.gamma * state.Yg + state.SY.T @ aux.v_phys
-               - aux.gamma * (state.YY @ aux.u_phys))
-        col = t1 - state.Sg            # s_i.y_new (uses OLD S rows; row slot
-        #                                overwritten by the diagonal below)
-        row = alpha * Yd               # s_new.y_j
-        SY_next = state.SY.at[:, slot].set(col)
-        SY_next = SY_next.at[slot, :].set(row)
-        SY_next = SY_next.at[slot, slot].set(sy)
-        ycol = t2 - state.Yg           # y_i.y_new
-        YY_next = state.YY.at[:, slot].set(ycol)
-        YY_next = YY_next.at[slot, :].set(ycol)
-        YY_next = YY_next.at[slot, slot].set(yy)
+        # New column of SY / YY directly from u1/u2 (diagonals from the
+        # exact tail scalars).  SY[slot, :] (s_new . y_older) lies strictly
+        # below the diagonal in logical order and is never read by the
+        # compact algebra (R = triu) — left stale by design.
+        SY_next = state.SY.at[:, slot].set(u1.at[slot].set(sy))
+        yy_col = u2.at[slot].set(yy)
+        YY_next = state.YY.at[:, slot].set(yy_col)
+        YY_next = YY_next.at[slot, :].set(yy_col)
 
         SY_next = jnp.where(store, SY_next, state.SY)
         YY_next = jnp.where(store, YY_next, state.YY)
@@ -275,6 +273,34 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         YY_next = jnp.where(failed, state.YY, YY_next)
         Sg_next = jnp.where(failed, state.Sg, Sg_next)
         Yg_next = jnp.where(failed, state.Yg, Yg_next)
+
+        # Periodic drift refresh (cfg.refresh_interval): recompute the
+        # products from the post-update history.  lax.cond keeps the heavy
+        # contractions off the common path in the single-instance
+        # while_loop; under vmap the pred is batched and both branches run
+        # (batched solves are small-d, so the amortized cost stays small).
+        if cfg.refresh_interval is not None:
+            dtype = g.dtype
+
+            def _fresh(_):
+                g_eff = jnp.where(failed, g, g_new).reshape(blk)
+                dn_mm = (((1, 2), (1, 2)), ((), ()))
+                dn_mv = (((1, 2), (0, 1)), ((), ()))
+                return (
+                    lax.dot_general(s_hist, y_hist, dn_mm,
+                                    preferred_element_type=dtype),
+                    lax.dot_general(y_hist, y_hist, dn_mm,
+                                    preferred_element_type=dtype),
+                    lax.dot_general(s_hist, g_eff, dn_mv,
+                                    preferred_element_type=dtype),
+                    lax.dot_general(y_hist, g_eff, dn_mv,
+                                    preferred_element_type=dtype),
+                )
+
+            do_refresh = ((state.k + 1) % cfg.refresh_interval) == 0
+            SY_next, YY_next, Sg_next, Yg_next = lax.cond(
+                do_refresh, _fresh,
+                lambda _: (SY_next, YY_next, Sg_next, Yg_next), None)
     else:
         SY_next, YY_next = state.SY, state.YY
         Sg_next, Yg_next = state.Sg, state.Yg

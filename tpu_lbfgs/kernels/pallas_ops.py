@@ -559,8 +559,8 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
             k += 2
         xnew_ref, gnew_ref, srow_ref, yrow_ref = refs[k:k + 4]
         k += 4
-        f_o, sy_o, yy_o, gg_o, dgn_o, ggn_o = refs[k:k + 6]
-        k += 6
+        f_o, sy_o, yy_o, gg_o, dgn_o, ggn_o, ygn_o = refs[k:k + 7]
+        k += 7
         if with_matvec:
             t1_ref, t2_ref = refs[k:k + 2]
             k += 2
@@ -570,7 +570,7 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
 
         @pl.when(j == 0)
         def _():
-            for i in range(7):
+            for i in range(8):
                 acc_ref[i] = 0.0
             if with_matvec:
                 t1_ref[:] = jnp.zeros((m, LANES), jnp.float32)
@@ -591,8 +591,8 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
             # holds the previous block's last x_new element.
             nxt = hx_ref[0, 0] + alpha * hd_ref[0, 0]
             xf = _shift_left(xn, nxt)
-            xp = _shift_right(xn, acc_ref[6])
-            acc_ref[6] = xn[br - 1, LANES - 1]
+            xp = _shift_right(xn, acc_ref[7])
+            acc_ref[7] = xn[br - 1, LANES - 1]
         else:
             xf = xn
             xp = xn
@@ -606,14 +606,17 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
         acc_ref[3] += jnp.sum(g_new * g_new)
         acc_ref[4] += jnp.sum(dv * g_new)
         acc_ref[5] += jnp.sum(g * g_new)
+        acc_ref[6] += jnp.sum(y * g_new)
         if with_matvec:
-            # Lane-partial accumulation: reduce sublanes per block, keep the
-            # 128 lanes; the cross-lane finish happens outside the kernel.
+            # Contract against the NEW pair's y (no-cancellation incremental
+            # updates; see solver).  Lane-partial accumulation: reduce
+            # sublanes per block, keep the 128 lanes; the cross-lane finish
+            # happens outside the kernel.
             for i in range(m):
                 si = sh_ref[i].astype(jnp.float32)
                 yi = yh_ref[i].astype(jnp.float32)
-                t1_ref[i, :] += jnp.sum(si * g_new, axis=0)
-                t2_ref[i, :] += jnp.sum(yi * g_new, axis=0)
+                t1_ref[i, :] += jnp.sum(si * y, axis=0)
+                t2_ref[i, :] += jnp.sum(yi * y, axis=0)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
@@ -623,6 +626,7 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
             gg_o[0, 0] = acc_ref[3]
             dgn_o[0, 0] = acc_ref[4]
             ggn_o[0, 0] = acc_ref[5]
+            ygn_o[0, 0] = acc_ref[6]
 
     return kernel
 
@@ -673,12 +677,12 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
         in_specs += [hist_blk, hist_blk]
         args += [s3, y3]
 
-    out_specs = [blk, blk, hblk, hblk] + [out_scal] * 6
+    out_specs = [blk, blk, hblk, hblk] + [out_scal] * 7
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), f32),
                  jax.ShapeDtypeStruct((rows, LANES), f32),
                  jax.ShapeDtypeStruct((rows, LANES), hdtype),
                  jax.ShapeDtypeStruct((rows, LANES), hdtype)] + \
-        [jax.ShapeDtypeStruct((1, 1), f32)] * 6
+        [jax.ShapeDtypeStruct((1, 1), f32)] * 7
     if with_matvec:
         part = pl.BlockSpec((m, LANES), lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -691,19 +695,19 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.SMEM((7,), f32)],
+        scratch_shapes=[pltpu.SMEM((8,), f32)],
         interpret=_interpret(),
     )(*args)
 
     unpad = lambda v: v.reshape(-1)[:dd]
     xnew, gnew, srow, yrow = (unpad(v) for v in outs[:4])
-    f_new, sy, yy, gg, dgn, ggn = (v[0, 0] for v in outs[4:10])
+    f_new, sy, yy, gg, dgn, ggn, ygn = (v[0, 0] for v in outs[4:11])
     if with_matvec:
-        t1 = jnp.sum(outs[10], axis=1)
-        t2 = jnp.sum(outs[11], axis=1)
+        t1 = jnp.sum(outs[11], axis=1)
+        t2 = jnp.sum(outs[12], axis=1)
     else:
         t1 = t2 = None
-    return xnew, f_new, gnew, srow, yrow, sy, yy, gg, dgn, ggn, t1, t2
+    return xnew, f_new, gnew, srow, yrow, sy, yy, gg, dgn, ggn, ygn, t1, t2
 
 
 def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
@@ -719,18 +723,19 @@ def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
     gg = jnp.vdot(g_new, g_new)
     dgn = jnp.vdot(d, g_new)
     ggn = jnp.vdot(g, g_new)
+    ygn = jnp.vdot(y, g_new)
     if with_matvec:
         s3, y3 = _hist3(s_hist), _hist3(y_hist)
-        gn3 = g_new.reshape(s3.shape[1:])
+        yv3 = y.reshape(s3.shape[1:])
         dn = (((1, 2), (0, 1)), ((), ()))
-        t1 = jax.lax.dot_general(s3, gn3, dn,
+        t1 = jax.lax.dot_general(s3, yv3, dn,
                                  preferred_element_type=g_new.dtype)
-        t2 = jax.lax.dot_general(y3, gn3, dn,
+        t2 = jax.lax.dot_general(y3, yv3, dn,
                                  preferred_element_type=g_new.dtype)
     else:
         t1 = t2 = None
     return (x_new, f_new, g_new, s.astype(hdtype), y.astype(hdtype),
-            sy, yy, gg, dgn, ggn, t1, t2)
+            sy, yy, gg, dgn, ggn, ygn, t1, t2)
 
 
 # -----------------------------------------------------------------------------
@@ -835,10 +840,11 @@ def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,
     """Build the fused post-line-search tail for a suite problem.
 
     Returns ``tail(x, d, alpha, g, s_hist, y_hist) -> (x_new, f_new, g_new,
-    s_row, y_row, sy, yy, gg, dgn, ggn, t1, t2)`` with s_row/y_row already in
-    history dtype and t1/t2 = S@g_new, Y@g_new over the *pre-update* history
-    (the slot entries are patched from scalars by the solver).  Dispatches to
-    the Pallas kernel when eligible, else to the jnp composition.
+    s_row, y_row, sy, yy, gg, dgn, ggn, ygn, t1, t2)`` with s_row/y_row
+    already in history dtype and t1/t2 = S@y_new, Y@y_new over the
+    *pre-update* history (the slot entries are patched from exact scalars by
+    the solver).  Dispatches to the Pallas kernel when eligible, else to the
+    jnp composition.
     """
     def tail(x, d, alpha, g, s_hist, y_hist):
         eligible = (use_pallas and problem in TAIL_BODIES

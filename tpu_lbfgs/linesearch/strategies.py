@@ -112,8 +112,15 @@ def backtracking(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
         broke = ~accept & (alpha_next < cfg.backtracking_tol)
         return alpha_next, accept, broke, n_fev + 1
 
-    alpha, _, _, n_fev = lax.while_loop(
+    alpha, _, broke, n_fev = lax.while_loop(
         cond, body, (alpha0, jnp.bool_(False), jnp.bool_(False), _i32(0)))
+    if cfg.fidelity == "fixed" and cfg.alpha_rescue_floor is None:
+        # Textbook semantics: a search that never satisfied Armijo FAILS
+        # (alpha=0 -> solver bails) instead of stepping on the untested
+        # underflowed alpha the reference returns (line_search.cpp:29) —
+        # which, on a degenerate direction (e.g. a near-zero-curvature pair
+        # making rho explode), applies a garbage step and diverges.
+        alpha = jnp.where(broke, jnp.zeros_like(alpha), alpha)
     return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
 
 
@@ -151,11 +158,11 @@ def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
     ladder = cfg.shrink ** jnp.arange(K, dtype=dtype)
 
     def cond(carry):
-        _, done, _, _ = carry
+        _, done, _, _, _ = carry
         return ~done
 
     def body(carry):
-        base, _, _, n_fev = carry
+        base, _, _, _, n_fev = carry
         alphas = base * ladder                       # (K,)
         fs = phi(alphas)                             # one batched pass
         accepts = _armijo_accept(cfg, f_x, fs, alphas, g_dot_d)
@@ -165,11 +172,14 @@ def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
         any_stop = jnp.any(stop)
         idx = jnp.argmax(stop)                       # first stop index
         res = jnp.where(accepts[idx], alphas[idx], nexts[idx])
-        return (nexts[K - 1], any_stop, res, n_fev + K)
+        return (nexts[K - 1], any_stop, res, ~accepts[idx], n_fev + K)
 
-    _, _, alpha, n_fev = lax.while_loop(
+    _, _, alpha, broke, n_fev = lax.while_loop(
         cond, body,
-        (alpha0, jnp.bool_(False), alpha0, _i32(0)))
+        (alpha0, jnp.bool_(False), alpha0, jnp.bool_(False), _i32(0)))
+    if cfg.fidelity == "fixed" and cfg.alpha_rescue_floor is None:
+        # Same textbook break-means-fail semantics as `backtracking`.
+        alpha = jnp.where(broke, jnp.zeros_like(alpha), alpha)
     return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
 
 
