@@ -34,8 +34,12 @@ def _poly_phi(coeffs):
 
 @pytest.mark.parametrize("fidelity", ["reference", "fixed"])
 @pytest.mark.parametrize("spec_width", [2, 4, 8, 19])
-def test_alpha_parity_random_polys(fidelity, spec_width):
-    """Random descent-shaped quartics: speculative == sequential alpha."""
+@pytest.mark.parametrize("shrink", [0.5, 0.7])
+def test_alpha_parity_random_polys(fidelity, spec_width, shrink):
+    """Random descent-shaped quartics: speculative == sequential alpha,
+    bit-identical — including non-power-of-two shrink factors, where a
+    pow-based ladder would round differently from the sequential
+    iterated-multiply chain."""
     rng = np.random.default_rng(0)
     for trial in range(40):
         g_dot_d = jnp.float32(-np.abs(rng.normal()) - 1e-3)
@@ -45,7 +49,8 @@ def test_alpha_parity_random_polys(fidelity, spec_width):
         c = jnp.float32(rng.normal())
         phi = _poly_phi([f_x, g_dot_d, q, c])
         cfg = LBFGSConfig(line_search="backtracking_speculative",
-                          fidelity=fidelity, spec_width=spec_width)
+                          fidelity=fidelity, spec_width=spec_width,
+                          shrink=shrink)
         r_seq = backtracking(cfg, phi, None, f_x, g_dot_d)
         r_spec = backtracking_speculative(cfg, phi, None, f_x, g_dot_d)
         assert float(r_seq.alpha) == float(r_spec.alpha), \

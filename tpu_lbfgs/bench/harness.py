@@ -159,8 +159,6 @@ def bench_batch(problem: str = "rosenbrock", batch: int = 4096,
     §2 parallelism inventory).  Reports INSTANCE-iterations/s = batch * iters
     / wall.  d defaults to 1024 (the 1e3-class size, lane-aligned so the
     per-instance history keeps the tiled (m, R, 128) layout)."""
-    from ..core.solver import iterate
-
     # fidelity="fixed" (textbook: broke searches fail instead of stepping
     # untested) + GPU-reference pair skip: keeps every f32 lane finite —
     # see tests/test_robustness.py for the failure chain this avoids.

@@ -30,7 +30,7 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -297,7 +297,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                                     preferred_element_type=dtype),
                 )
 
-            do_refresh = ((state.k + 1) % cfg.refresh_interval) == 0
+            # ~failed: a frozen (failed) lane must never be perturbed — under
+            # vmap it keeps re-running deterministically, and a k-scheduled
+            # refresh could otherwise alter its products and resurrect it.
+            do_refresh = (((state.k + 1) % cfg.refresh_interval) == 0) \
+                & ~failed
             SY_next, YY_next, Sg_next, Yg_next = lax.cond(
                 do_refresh, _fresh,
                 lambda _: (SY_next, YY_next, Sg_next, Yg_next), None)
@@ -404,6 +408,29 @@ def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
     return jax.value_and_grad(f)
 
 
+@lru_cache(maxsize=128)
+def _compiled_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
+                  fused_tail, phi_batch):
+    """Jitted solve factory, cached on the (hashable) configuration and the
+    callables' identities: repeated minimize() calls with the same setup hit
+    jax's compilation cache instead of rebuilding a fresh closure (and
+    therefore retracing) every call."""
+    vg = make_value_and_grad(f, grad, value_and_grad)
+
+    @jax.jit
+    def run(x0):
+        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
+        if cfg.record_trace:
+            out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
+                                       fused_tail, phi_batch)
+            return _state_to_result(out, trace)
+        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
+                               phi_batch)
+        return _state_to_result(out, None)
+
+    return run
+
+
 def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
              grad=None, value_and_grad=None, dir_poly=None,
              fused_tail=None, phi_batch=None) -> SolveResult:
@@ -415,18 +442,11 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
     cfg.ls_eval="polynomial" (see problems.suite.Problem.dir_poly).
     fused_tail: optional single-stream iteration tail
     (problems.suite.fused_tail_for) — the fastest path for suite problems.
+
+    Repeat calls with the same cfg and the same callable objects reuse the
+    compiled program (pass stable function references, not fresh lambdas,
+    to benefit).
     """
-    vg = make_value_and_grad(f, grad, value_and_grad)
-
-    @partial(jax.jit, static_argnums=())
-    def run(x0):
-        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
-        if cfg.record_trace:
-            out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
-                                       fused_tail, phi_batch)
-            return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
-                               phi_batch)
-        return _state_to_result(out, None)
-
+    run = _compiled_run(cfg, f, grad, value_and_grad, dir_poly,
+                        fused_tail, phi_batch)
     return run(jnp.asarray(x0))

@@ -155,7 +155,18 @@ def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
     K = cfg.spec_width
     dtype = f_x.dtype
     alpha0 = jnp.asarray(cfg.initial_step, dtype)
-    ladder = cfg.shrink ** jnp.arange(K, dtype=dtype)
+    shrink = jnp.asarray(cfg.shrink, dtype)
+
+    def _ladder(base):
+        # Iterated multiply (the sequential loop's exact rounding chain):
+        # base, base*s, (base*s)*s, ...  A pow-based base * s**k ladder
+        # rounds differently for non-power-of-two shrink factors and can
+        # flip a knife-edge Armijo acceptance.
+        def mul(c, _):
+            return c * shrink, c
+
+        _, alphas = lax.scan(mul, base, None, length=K)
+        return alphas
 
     def cond(carry):
         _, done, _, _, _ = carry
@@ -163,7 +174,7 @@ def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
 
     def body(carry):
         base, _, _, _, n_fev = carry
-        alphas = base * ladder                       # (K,)
+        alphas = _ladder(base)                       # (K,)
         fs = phi(alphas)                             # one batched pass
         accepts = _armijo_accept(cfg, f_x, fs, alphas, g_dot_d)
         nexts = alphas * cfg.shrink

@@ -61,7 +61,9 @@ def minimize(fun: Callable, x0, args=(), method: str = "tpu-lbfgs",
     config.LINE_SEARCH_METHODS name), plus any LBFGSConfig field by name.
     ``config`` overrides everything when given.
     """
-    if method.lower() not in ("tpu-lbfgs", "l-bfgs", "lbfgs"):
+    if method.lower() not in ("tpu-lbfgs", "l-bfgs", "lbfgs", "l-bfgs-b"):
+        # "l-bfgs-b" is accepted for drop-in migration (bounds unsupported —
+        # the reference implements plain L-BFGS).
         raise ValueError(f"unsupported method {method!r}")
     opts = dict(options or {})
     if config is None:

@@ -26,12 +26,22 @@ import jax
 def trace(trace_dir: str) -> Iterator[None]:
     """Record a jax.profiler trace of the enclosed block into ``trace_dir``
     (open with TensorBoard's profile plugin or ui.perfetto.dev).  Falls back
-    to a no-op if the backend cannot be profiled."""
+    to a no-op if the backend cannot be profiled — and never swallows or
+    rewraps exceptions raised by the enclosed block itself."""
+    ctx = None
     try:
-        with jax.profiler.trace(trace_dir):
-            yield
-    except Exception:                      # profiling must never break a run
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
+    except Exception:                      # profiler unavailable: no-op
+        ctx = None
+    try:
         yield
+    finally:
+        if ctx is not None:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception:              # stop() must never break a run
+                pass
 
 
 def profile_solve(run_fn, *args, trace_dir: Optional[str] = None,

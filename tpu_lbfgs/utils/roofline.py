@@ -113,7 +113,10 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                                  "wolfe_interpolation"):
             per_trial += 1.0  # gradient per trial
         p_ls = per_trial * avg_ls_trials
-        p_ls += 2.0  # direct mode reduces jnp.vdot(g, d) for phi'(0)
+        if cfg.direction == "two_loop":
+            # Only the two-loop path reduces jnp.vdot(g, d) for phi'(0);
+            # the compact paths get it from the DirAux coefficient identity.
+            p_ls += 2.0
 
     if fused_tail:
         # One stream: read x, d, g; write x_new, g_new, s_row, y_row
