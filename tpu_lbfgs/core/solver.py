@@ -244,7 +244,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         else:
             # One fresh contraction per iteration, against the new pair:
             # u1 = S @ y_new, u2 = Y @ y_new over the (R, L) row blocks.
-            y3 = y_h.astype(g.dtype).reshape(blk)
+            # y stays in history dtype so the operands match (bf16 x bf16 ->
+            # f32 is MXU-native; NOTE measured: matched dtypes do NOT close
+            # bf16's ~20% end-to-end deficit vs f32 under the lane-tiled
+            # layout — f32 history remains the fast default).
+            y3 = y_h.reshape(blk)
             dn3 = (((1, 2), (0, 1)), ((), ()))
             u1 = lax.dot_general(state.s_hist, y3, dn3,
                                  preferred_element_type=g.dtype)

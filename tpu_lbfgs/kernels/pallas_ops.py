@@ -221,9 +221,16 @@ def _combine_pallas(g, s_hist, y_hist, v, u, gamma):
 
 
 def _combine_jnp(g, s_hist, y_hist, v, u, gamma):
-    r3 = gamma * g.reshape(s_hist.shape[1:]) \
-        + jnp.tensordot(v, s_hist.astype(v.dtype), 1) \
-        - gamma * jnp.tensordot(u, y_hist.astype(u.dtype), 1)
+    # Coefficient vectors are cast DOWN to the history dtype so the
+    # contraction operands match (bf16 x bf16 -> f32 accumulate is
+    # MXU-native); identical to the f32 path when history is f32.
+    hdtype = s_hist.dtype
+    dn = (((0,), (0,)), ((), ()))           # (m,) x (m, R, L) -> (R, L)
+    vs = jax.lax.dot_general(v.astype(hdtype), s_hist, dn,
+                             preferred_element_type=g.dtype)
+    uy = jax.lax.dot_general(u.astype(hdtype), y_hist, dn,
+                             preferred_element_type=g.dtype)
+    r3 = gamma * g.reshape(s_hist.shape[1:]) + vs - gamma * uy
     return r3.reshape(g.shape)
 
 
