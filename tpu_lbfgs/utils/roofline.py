@@ -67,10 +67,17 @@ class TrafficModel:
         return measured_iters_per_s / self.peak_iters_per_s(chip)
 
 
+# Conservative bound on the history footprint XLA will keep VMEM-resident
+# across the solver while_loop on current TPUs (measured on v5e: an 80 MB
+# f32 m=10 history stays resident; a 160 MB m=20 one streams from HBM).
+VMEM_RESIDENT_BYTES = 100e6
+
+
 def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                   avg_ls_trials: float = 2.2,
                   obj_passes: float = 1.0,
-                  fused_tail: bool = None) -> TrafficModel:
+                  fused_tail: bool = None,
+                  hist_resident: bool = None) -> TrafficModel:
     """Estimate HBM passes per iteration for a configuration.
 
     avg_ls_trials: measured average line-search trials per iteration
@@ -78,6 +85,11 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     evaluation costs beyond reading its input (1 for the suite's fused or
     elementwise-chain objectives); fused_tail: whether the single-stream
     tail kernel is active (defaults to cfg.use_pallas).
+
+    hist_resident: when the whole (2, m, d) history fits in VMEM, XLA keeps
+    it resident across the while_loop and history reads cost NO HBM traffic
+    (see PERFORMANCE.md "VMEM residency"); defaults to auto-detection
+    against VMEM_RESIDENT_BYTES.  Ring-row WRITES still stream.
 
     History passes assume the lane-tiled (m, R, 128) storage (zero tiling
     waste — types.hist_block); a bfloat16 history pass costs 0.5
@@ -90,6 +102,10 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     if cfg.history_dtype is not None:
         import jax.numpy as jnp
         hw = jnp.dtype(cfg.history_dtype).itemsize / dtype_bytes
+    if hist_resident is None:
+        hist_resident = 2 * m * d * dtype_bytes * hw < VMEM_RESIDENT_BYTES
+    if hist_resident:
+        hw = 0.0   # resident history: reads are free; row writes handled below
 
     if cfg.direction == "two_loop":
         # per pair, both loops: read s_i, y_i (history) + read/write q or r.
