@@ -97,24 +97,31 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
         return float(out.f)
 
     per_seed = []
+    all_walls = []
+    compile_s = None
     out = None
     for seed in seeds:
         x0 = _x0(problem, d, seed, dtype)
+        t0 = time.perf_counter()
         out = run(x0)
         sync(out)                           # warmup / compile
-        best = np.inf
+        if compile_s is None:
+            compile_s = time.perf_counter() - t0
+        walls = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             out = run(x0)
             sync(out)
-            best = min(best, time.perf_counter() - t0)
-        per_seed.append(best)
+            walls.append(time.perf_counter() - t0)
+        all_walls.extend(walls)
+        per_seed.append(min(walls))
     wall = float(np.mean(per_seed))
     return BenchResult(
         name=f"tpu/{problem}/d={d}/{cfg.line_search}/{cfg.direction}/{jnp.dtype(dtype).name}",
         iters_per_s=iters / wall, wall_s=wall, iterations=iters,
         final_f=float(out.f), final_g_norm=float(out.g_norm),
-        details={"per_seed_s": per_seed, "n_fev": int(out.n_fev),
+        details={"per_seed_s": per_seed, "repeat_walls_s": all_walls,
+                 "compile_s": compile_s, "n_fev": int(out.n_fev),
                  "n_gev": int(out.n_gev)})
 
 

@@ -11,6 +11,7 @@ Ddot round-trips (L-BFGS.cu:219-274).
 """
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Callable, Optional
 
@@ -28,20 +29,31 @@ from ..core.solver import (
 )
 from ..types import SolveResult
 from .mesh import make_mesh, result_shardings, state_shardings
+from .pallas_sharded import (
+    SHARDED_PALLAS_PROBLEMS,
+    shard_alignment,
+    shardmap_fused_tail,
+    shardmap_fused_vg,
+    shardmap_multi_phi,
+)
 
 
-def _pad_for_mesh(f, vg, x0, n_shards: int):
-    """Zero-pad x0 to a multiple of 128 * n_shards and wrap the objective to
-    ignore the padding.  Padded coordinates have exactly zero gradient, so
-    they never move and the padded solve is step-for-step identical to the
-    original (the line search, history, and all reductions see zeros there).
+def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None):
+    """Zero-pad x0 to a multiple of ``mult`` (default 128 * n_shards) and
+    wrap the objective to ignore the padding.  Padded coordinates have
+    exactly zero gradient, so they never move and the padded solve is
+    step-for-step identical to the original (the line search, history, and
+    all reductions see zeros there).
 
     The 128 factor keeps the history in its lane-tiled (m, R, 128) layout
     (types.hist_block) with the row-block axis R divisible by the mesh, so
     the (d,) shards and the history R-shards cover identical element ranges.
+    The Pallas-in-shard_map path passes a larger mult (shard_alignment) so
+    each shard's local block is whole (8, 128) tiles.
     """
     d = x0.shape[-1]
-    mult = 128 * n_shards
+    if mult is None:
+        mult = 128 * n_shards
     d_pad = ((d + mult - 1) // mult) * mult
     if d_pad == d:
         return f, vg, x0, d
@@ -63,21 +75,52 @@ def _pad_for_mesh(f, vg, x0, n_shards: int):
 def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
                      mesh: Optional[Mesh] = None, grad=None,
                      value_and_grad=None, d_axis: str = "d",
-                     dir_poly=None) -> SolveResult:
+                     dir_poly=None, problem: Optional[str] = None) -> SolveResult:
     """Single-instance solve with x, g, and the (m, d) history sharded on the
     vector axis across the mesh.  Dimensions not divisible by the mesh are
-    transparently zero-padded (exactly equivalent — see _pad_for_mesh)."""
+    transparently zero-padded (exactly equivalent — see _pad_for_mesh).
+
+    ``problem``: optional suite-problem name.  With ``cfg.use_pallas`` and an
+    f32 x0, the solve then runs the fused Pallas kernels PER SHARD inside
+    shard_map (dist.pallas_sharded) — the fastest stack in sharded form.
+    Without a problem name the Pallas kernels cannot shard (they are
+    single-device programs; XLA would materialize full gathers around them),
+    so the solve falls back to the auto-partitioned jnp path with a warning.
+    """
     mesh = mesh if mesh is not None else make_mesh(axis_name=d_axis)
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     n_shards = int(mesh.shape[d_axis])
-    if n_shards > 1 and cfg.use_pallas:
-        # The Pallas kernels are single-device programs; under a >1-way
-        # partition XLA would materialize full gathers around each call.
-        # Until they are shard_map-wrapped, the jnp paths (which partition
-        # cleanly) are strictly faster here.
+    x0 = jnp.asarray(x0)
+    fused_tail = None
+    phi_batch = None
+    pallas_shard = (cfg.use_pallas and n_shards > 1
+                    and problem in SHARDED_PALLAS_PROBLEMS
+                    and x0.dtype == jnp.float32)
+    if n_shards > 1 and cfg.use_pallas and not pallas_shard:
+        warnings.warn(
+            "sharded_minimize: use_pallas=True has no shard-composable "
+            "kernels for this objective (pass problem=<suite name> with f32 "
+            "x0 to enable the shard_map Pallas path); falling back to the "
+            "auto-partitioned jnp path.", stacklevel=2)
         cfg = cfg.replace(use_pallas=False)
-    f, vg, x0_arr, d_orig = _pad_for_mesh(f, vg, jnp.asarray(x0), n_shards)
+
+    if pallas_shard:
+        f, vg, x0_arr, d_orig = _pad_for_mesh(
+            f, vg, x0, n_shards, mult=shard_alignment(n_shards))
+        # Shard-local kernels replace both the objective interface and the
+        # iteration tail; the in-loop jnp ops (direction algebra, line-search
+        # scalars) stay auto-partitioned.  use_pallas=False inside stops
+        # iterate() from calling the single-device kernels directly.
+        vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
+        fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
+                                         with_matvec=False)
+        if cfg.line_search == "backtracking_speculative" \
+                and cfg.ls_eval == "direct":
+            phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
+        cfg = cfg.replace(use_pallas=False)
+    else:
+        f, vg, x0_arr, d_orig = _pad_for_mesh(f, vg, x0, n_shards)
 
     st_sh = state_shardings(mesh, d_axis)
     x_sh = NamedSharding(mesh, P(d_axis))
@@ -93,9 +136,11 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(state):
         if cfg.record_trace:
-            out, trace = _solve_traced(cfg, f, vg, state, dir_poly)
+            out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
+                                       fused_tail, phi_batch)
             return _state_to_result(out, trace)
-        out = solve_from_state(cfg, f, vg, state, dir_poly)
+        out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
+                               phi_batch)
         return _state_to_result(out, None)
 
     res = run(make_state(x0))
@@ -123,6 +168,12 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     n_shards = int(mesh.shape[d_axis])
+    if n_shards > 1 and cfg.use_pallas:
+        warnings.warn(
+            "sharded_vmap_minimize: the Pallas kernels do not compose with "
+            "batched sharding yet; falling back to the auto-partitioned jnp "
+            "path.", stacklevel=2)
+        cfg = cfg.replace(use_pallas=False)
     f, vg, x0_batch, d_orig = _pad_for_mesh(
         f, vg, jnp.asarray(x0_batch), n_shards)
 

@@ -54,6 +54,29 @@ def _pad_rows(v2d: Array, br: int) -> Array:
     return jnp.pad(v2d, ((0, pad), (0, 0))) if pad else v2d
 
 
+def _ns_arg(n: int, start) -> Array:
+    """SMEM scalar block [n_total, global_start] (start may be traced —
+    shard_map passes axis_index * d_local)."""
+    return jnp.stack([jnp.asarray(n, jnp.int32),
+                      jnp.asarray(start, jnp.int32)])
+
+
+def local_block_rows(rows: int, cap: int = BLOCK_ROWS) -> int:
+    """Largest multiple-of-8 divisor of ``rows`` not exceeding ``cap`` — the
+    per-shard grid block size.  Shard-local kernels must not row-pad (padded
+    elements would alias valid global indices of the NEXT shard), so the
+    block size must divide the local row count exactly; the multiple-of-8
+    constraint comes from the (8, 128) halo DMA tiles."""
+    best = 0
+    for br in range(8, min(rows, cap) + 1, 8):
+        if rows % br == 0:
+            best = br
+    if best == 0:
+        raise ValueError(f"local rows={rows} has no multiple-of-8 divisor; "
+                         "pad the sharded dimension to 1024*n_shards")
+    return best
+
+
 def _as2d(v: Array) -> Array:
     return v.reshape(-1, LANES)
 
@@ -291,11 +314,14 @@ def _shift_right(blk: Array, prev_last: Array) -> Array:
     return jnp.where(is_first, prev_last, out)
 
 
-def _global_index(j, shape):
+def _global_index(j, shape, start=0):
+    """Global element index of each (row, col) in grid block j; ``start`` is
+    the shard's global offset (0 unsharded, axis_index * d_local inside
+    shard_map)."""
     br, lanes = shape
     row = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
-    return (j * br + row) * lanes + col
+    return start + (j * br + row) * lanes + col
 
 
 # --- per-problem value+gradient bodies -------------------------------------------
@@ -378,7 +404,7 @@ F_BODIES = {
 }
 
 
-def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
+def _vg_quadratic_kernel(ns_ref, x_ref, f_ref, g_ref, acc_ref):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -386,8 +412,8 @@ def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
         acc_ref[0] = 0.0
 
     x = x_ref[:]
-    f_blk, g_blk = _body_quadratic(x, x, x, _global_index(j, x.shape),
-                                   n_ref[0])
+    f_blk, g_blk = _body_quadratic(
+        x, x, x, _global_index(j, x.shape, ns_ref[1]), ns_ref[0])
     acc_ref[0] += jnp.sum(f_blk)
     g_ref[:] = g_blk
 
@@ -396,20 +422,26 @@ def _vg_quadratic_kernel(n_ref, x_ref, f_ref, g_ref, acc_ref):
         f_ref[0, 0] = acc_ref[0]
 
 
-def _vg_rosenbrock_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
+def _vg_rosenbrock_kernel(ns_ref, edge_ref, x_ref, halo_ref, f_ref, g_ref,
+                          acc_ref):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
-        acc_ref[0] = 0.0   # f accumulator
-        acc_ref[1] = 0.0   # carry: previous block's last element
+        acc_ref[0] = 0.0            # f accumulator
+        acc_ref[1] = edge_ref[0]    # backward carry seed: previous shard's
+        #                             last element (0 unsharded; masked away
+        #                             at the true global boundary)
 
     x = x_ref[:]
-    xf = _shift_left(x, halo_ref[0, 0])
+    # Forward halo: next in-shard block's first element, except at the
+    # shard's last block where it is the NEXT shard's first element.
+    nf = jnp.where(j == pl.num_programs(0) - 1, edge_ref[1], halo_ref[0, 0])
+    xf = _shift_left(x, nf)
     xp = _shift_right(x, acc_ref[1])
     acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
-    f_blk, g_blk = _body_rosenbrock(x, xp, xf, _global_index(j, x.shape),
-                                    n_ref[0])
+    f_blk, g_blk = _body_rosenbrock(
+        x, xp, xf, _global_index(j, x.shape, ns_ref[1]), ns_ref[0])
     acc_ref[0] += jnp.sum(f_blk)
     g_ref[:] = g_blk
 
@@ -418,20 +450,22 @@ def _vg_rosenbrock_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
         f_ref[0, 0] = acc_ref[0]
 
 
-def _vg_coupled_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
+def _vg_coupled_kernel(ns_ref, edge_ref, x_ref, halo_ref, f_ref, g_ref,
+                       acc_ref):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         acc_ref[0] = 0.0
-        acc_ref[1] = 0.0
+        acc_ref[1] = edge_ref[0]
 
     x = x_ref[:]
-    xf = _shift_left(x, halo_ref[0, 0])
+    nf = jnp.where(j == pl.num_programs(0) - 1, edge_ref[1], halo_ref[0, 0])
+    xf = _shift_left(x, nf)
     xp = _shift_right(x, acc_ref[1])
     acc_ref[1] = x[x.shape[0] - 1, LANES - 1]
-    f_blk, g_blk = _body_coupled(x, xp, xf, _global_index(j, x.shape),
-                                 n_ref[0])
+    f_blk, g_blk = _body_coupled(
+        x, xp, xf, _global_index(j, x.shape, ns_ref[1]), ns_ref[0])
     acc_ref[0] += jnp.sum(f_blk)
     g_ref[:] = g_blk
 
@@ -440,25 +474,44 @@ def _vg_coupled_kernel(n_ref, x_ref, halo_ref, f_ref, g_ref, acc_ref):
         f_ref[0, 0] = acc_ref[0]
 
 
-def _run_vg(kernel, x: Array, needs_halo: bool) -> Tuple[Array, Array]:
+def _run_vg(kernel, x: Array, needs_halo: bool, n: int = None, start=0,
+            edges: Array = None, br: int = None) -> Tuple[Array, Array]:
+    """Run a fused vg kernel over (a shard of) x.
+
+    Unsharded: n/start/edges default to (len(x), 0, zeros).  Shard-local
+    (inside shard_map): ``n`` is the GLOBAL unpadded length, ``start`` the
+    shard's global offset, ``edges`` = [prev shard's last element, next
+    shard's first element], and ``br`` a block size dividing the local rows
+    exactly (local_block_rows) so no row padding aliases the next shard's
+    index range.
+    """
     dd = x.shape[0]
-    x2 = _pad_rows(_as2d(x), BLOCK_ROWS)
+    n = dd if n is None else n
+    if br is None:
+        br = BLOCK_ROWS
+        x2 = _pad_rows(_as2d(x), br)
+    else:
+        x2 = _as2d(x)
     rows = x2.shape[0]
-    grid = rows // BLOCK_ROWS
-    blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+    grid = rows // br
+    blk = pl.BlockSpec((br, LANES), lambda j: (j, 0),
                        memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
     in_specs = [scal, blk]
-    args = [jnp.asarray([dd], jnp.int32), x2]
+    args = [_ns_arg(n, start), x2]
     if needs_halo:
+        if edges is None:
+            edges = jnp.zeros((2,), f32)
+        in_specs.insert(1, scal)
+        args.insert(1, edges.astype(f32))
         # First rows of the NEXT block: an 8-row (4 KiB) halo DMA per grid
         # step — TPU lowering requires >= (8, 128) blocks.  The kernel only
-        # reads element [0, 0]; clamped at the final block, where the halo
-        # value is masked out anyway.
-        halo_blocks = BLOCK_ROWS // 8
+        # reads element [0, 0]; clamped at the final block, where the edge
+        # scalar is used instead.
+        halo_blocks = br // 8
         last_halo = rows // 8 - 1
         halo = pl.BlockSpec(
             (8, LANES),
@@ -499,7 +552,7 @@ def fused_vg_quadratic(x: Array, use_pallas: bool = True):
                        jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
             scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
             interpret=_interpret(),
-        )(jnp.asarray([dd], jnp.int32), x2)
+        )(_ns_arg(dd, 0), x2)
         return f[0, 0], g.reshape(-1)[:dd]
     r = x - 1.0
     return jnp.sum(r * r), 2.0 * r
@@ -535,6 +588,25 @@ FUSED_VG = {
     "coupled_quadratic": fused_vg_coupled_quadratic,
 }
 
+# (kernel, needs_halo) per problem — the shard-local entry points used by
+# dist.pallas_sharded to run these kernels on per-device blocks inside
+# shard_map (SURVEY.md §2 native-code census item 2).
+VG_KERNELS = {
+    "quadratic": (_vg_quadratic_kernel, False),
+    "rosenbrock": (_vg_rosenbrock_kernel, True),
+    "coupled_quadratic": (_vg_coupled_kernel, True),
+}
+
+
+def local_fused_vg(problem: str, x_local: Array, n: int, start,
+                   edges: Array, br: int) -> Tuple[Array, Array]:
+    """Shard-local fused vg: f partial (caller psums) + local gradient block.
+    ``n`` = global unpadded length, ``start`` = this shard's global offset,
+    ``edges`` = [prev shard's last x, next shard's first x]."""
+    kernel, needs_halo = VG_KERNELS[problem]
+    return _run_vg(kernel, x_local, needs_halo, n=n, start=start,
+                   edges=edges, br=br)
+
 
 # -----------------------------------------------------------------------------
 # fused_tail: the ENTIRE post-line-search iteration in one HBM stream.
@@ -555,9 +627,13 @@ FUSED_VG = {
 def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
                       hdtype, br: int):
     def kernel(*refs):
-        n_ref, alpha_ref = refs[0], refs[1]
-        x_ref, d_ref, g_ref = refs[2:5]
-        k = 5
+        ns_ref, alpha_ref = refs[0], refs[1]
+        k = 2
+        if needs_halo:
+            edge_ref = refs[k]          # [prev_x, prev_d, next_x, next_d]
+            k += 1
+        x_ref, d_ref, g_ref = refs[k:k + 3]
+        k += 3
         if needs_halo:
             hx_ref, hd_ref = refs[k:k + 2]
             k += 2
@@ -577,14 +653,19 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
 
         @pl.when(j == 0)
         def _():
-            for i in range(8):
+            for i in range(7):
                 acc_ref[i] = 0.0
+            # Backward-carry seed: previous shard's last x_new element
+            # (zeros unsharded; the gidx >= 1 mask discards it at the true
+            # global boundary).
+            acc_ref[7] = (edge_ref[0] + alpha_ref[0] * edge_ref[1]) \
+                if needs_halo else 0.0
             if with_matvec:
                 t1_ref[:] = jnp.zeros((m, LANES), jnp.float32)
                 t2_ref[:] = jnp.zeros((m, LANES), jnp.float32)
 
         alpha = alpha_ref[0]
-        n = n_ref[0]
+        n = ns_ref[0]
         x = x_ref[:]
         dv = d_ref[:]
         g = g_ref[:]
@@ -592,11 +673,15 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
         xn = x + s
         xnew_ref[:] = xn
         srow_ref[:] = s.astype(hdtype)
-        gidx = _global_index(j, x.shape)
+        gidx = _global_index(j, x.shape, ns_ref[1])
         if needs_halo:
             # Trial-point neighbours derived from the x/d halos: the carry
-            # holds the previous block's last x_new element.
-            nxt = hx_ref[0, 0] + alpha * hd_ref[0, 0]
+            # holds the previous block's last x_new element.  At the shard's
+            # last block the forward neighbour is the NEXT shard's first
+            # trial-point element, from the edge scalars.
+            nxt = jnp.where(j == pl.num_programs(0) - 1,
+                            edge_ref[2] + alpha * edge_ref[3],
+                            hx_ref[0, 0] + alpha * hd_ref[0, 0])
             xf = _shift_left(xn, nxt)
             xp = _shift_right(xn, acc_ref[7])
             acc_ref[7] = xn[br - 1, LANES - 1]
@@ -639,17 +724,26 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
 
 
 def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
-                       with_matvec: bool):
+                       with_matvec: bool, n: int = None, start=0,
+                       edges: Array = None, br: int = None):
+    """Fused tail over (a shard of) x/d/g/history.  n/start/edges/br as in
+    _run_vg; ``edges`` here is [prev_x, prev_d, next_x, next_d] — the
+    neighbouring shards' boundary elements of x and d."""
     body, needs_halo = TAIL_BODIES[problem]
     s_hist, y_hist = _hist3(s_hist), _hist3(y_hist)
     dd = x.shape[0]
+    n = dd if n is None else n
     m = s_hist.shape[0]
     hdtype = s_hist.dtype
-    # f32 history doubles the streamed block bytes; halve rows to keep the
-    # double-buffered VMEM footprint bounded.
-    br = BLOCK_ROWS if (not with_matvec or hdtype == jnp.bfloat16) \
-        else BLOCK_ROWS // 2
-    x2, d2, g2 = (_pad_rows(_as2d(v), br) for v in (x, d, g))
+    local = br is not None
+    if not local:
+        # f32 history doubles the streamed block bytes; halve rows to keep
+        # the double-buffered VMEM footprint bounded.
+        br = BLOCK_ROWS if (not with_matvec or hdtype == jnp.bfloat16) \
+            else BLOCK_ROWS // 2
+        x2, d2, g2 = (_pad_rows(_as2d(v), br) for v in (x, d, g))
+    else:
+        x2, d2, g2 = (_as2d(v) for v in (x, d, g))
     rows = x2.shape[0]
     grid = rows // br
     f32 = jnp.float32
@@ -661,9 +755,15 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
 
-    in_specs = [scal, scal, blk, blk, blk]
-    args = [jnp.asarray([dd], jnp.int32),
-            jnp.reshape(alpha.astype(f32), (1,)), x2, d2, g2]
+    in_specs = [scal, scal]
+    args = [_ns_arg(n, start), jnp.reshape(alpha.astype(f32), (1,))]
+    if needs_halo:
+        if edges is None:
+            edges = jnp.zeros((4,), f32)
+        in_specs.append(scal)
+        args.append(edges.astype(f32))
+    in_specs += [blk, blk, blk]
+    args += [x2, d2, g2]
     if needs_halo:
         halo_blocks = br // 8
         last_halo = rows // 8 - 1
@@ -758,8 +858,13 @@ def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
 
 def _make_multi_phi_kernel(fbody, needs_halo: bool, K: int):
     def kernel(*refs):
-        n_ref, alphas_ref, x_ref, d_ref = refs[:4]
-        k = 4
+        ns_ref, alphas_ref = refs[:2]
+        k = 2
+        if needs_halo:
+            edge_ref = refs[k]          # [next_x, next_d]
+            k += 1
+        x_ref, d_ref = refs[k:k + 2]
+        k += 2
         if needs_halo:
             hx_ref, hd_ref = refs[k:k + 2]
             k += 2
@@ -773,15 +878,19 @@ def _make_multi_phi_kernel(fbody, needs_halo: bool, K: int):
             for i in range(K):
                 acc_ref[i] = 0.0
 
-        n = n_ref[0]
+        n = ns_ref[0]
         x = x_ref[:]
         dv = d_ref[:]
-        gidx = _global_index(j, x.shape)
+        gidx = _global_index(j, x.shape, ns_ref[1])
+        last = pl.num_programs(0) - 1
         for i in range(K):
             a = alphas_ref[i]
             xn = x + a * dv
             if needs_halo:
-                xf = _shift_left(xn, hx_ref[0, 0] + a * hd_ref[0, 0])
+                nxt = jnp.where(j == last,
+                                edge_ref[0] + a * edge_ref[1],
+                                hx_ref[0, 0] + a * hd_ref[0, 0])
+                xf = _shift_left(xn, nxt)
             else:
                 xf = xn
             acc_ref[i] += jnp.sum(fbody(xn, xf, gidx, n))
@@ -794,22 +903,36 @@ def _make_multi_phi_kernel(fbody, needs_halo: bool, K: int):
     return kernel
 
 
-def _multi_phi_pallas(problem: str, x, d, alphas):
+def _multi_phi_pallas(problem: str, x, d, alphas, n: int = None, start=0,
+                      edges: Array = None, br: int = None):
+    """K-trial phi over (a shard of) x/d; ``edges`` = [next_x, next_d]."""
     fbody, needs_halo = F_BODIES[problem]
     K = alphas.shape[0]
     dd = x.shape[0]
+    n = dd if n is None else n
     f32 = jnp.float32
-    x2, d2 = (_pad_rows(_as2d(v), BLOCK_ROWS) for v in (x, d))
+    if br is None:
+        br = BLOCK_ROWS
+        x2, d2 = (_pad_rows(_as2d(v), br) for v in (x, d))
+    else:
+        x2, d2 = (_as2d(v) for v in (x, d))
     rows = x2.shape[0]
-    blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
+    blk = pl.BlockSpec((br, LANES), lambda j: (j, 0),
                        memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_scal = pl.BlockSpec((1, K), lambda j: (0, 0), memory_space=pltpu.SMEM)
 
-    in_specs = [scal, scal, blk, blk]
-    args = [jnp.asarray([dd], jnp.int32), alphas.astype(f32), x2, d2]
+    in_specs = [scal, scal]
+    args = [_ns_arg(n, start), alphas.astype(f32)]
     if needs_halo:
-        halo_blocks = BLOCK_ROWS // 8
+        if edges is None:
+            edges = jnp.zeros((2,), f32)
+        in_specs.append(scal)
+        args.append(edges.astype(f32))
+    in_specs += [blk, blk]
+    args += [x2, d2]
+    if needs_halo:
+        halo_blocks = br // 8
         last_halo = rows // 8 - 1
         halo = pl.BlockSpec(
             (8, LANES),
@@ -820,7 +943,7 @@ def _multi_phi_pallas(problem: str, x, d, alphas):
 
     out = pl.pallas_call(
         _make_multi_phi_kernel(fbody, needs_halo, K),
-        grid=(rows // BLOCK_ROWS,),
+        grid=(rows // br,),
         in_specs=in_specs,
         out_specs=out_scal,
         out_shape=jax.ShapeDtypeStruct((1, K), f32),
