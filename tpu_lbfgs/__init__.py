@@ -17,6 +17,9 @@ from .core.solver import (
     iterate,
     make_value_and_grad,
     minimize,
+    finalize_result,
+    make_solve_segment,
+    refresh_products,
     solve_from_state,
 )
 from .problems.suite import (
@@ -54,6 +57,9 @@ __all__ = [
     "iterate",
     "minimize",
     "make_value_and_grad",
+    "finalize_result",
+    "make_solve_segment",
+    "refresh_products",
     "solve_from_state",
     "__version__",
 ]

@@ -105,14 +105,19 @@ class LBFGSConfig:
     #             history traffic.  fp drift accumulates in the off-diagonal
     #             products; diagonals stay exact.
     direction: str = "two_loop"
-    # compact_incremental only: every K iterations, recompute SY/YY/Sg/Yg
-    # from the stored history, bounding the additive f32 drift in Sg/Yg.
-    # WARNING: XLA-TPU executes both lax.cond branches inside the solver
-    # loop, so the refresh contractions run EVERY iteration — measured 7x
-    # slower at d=2^20 regardless of K.  Leave None (default) unless running
-    # very long small-d solves; the no-cancellation incremental updates
-    # (u1 = S@y_new directly) plus the curvature pair-skip already keep
-    # every observed f32 workload finite (tests/test_robustness.py).
+    # compact_incremental only: every ~K iterations, recompute SY/YY/Sg/Yg
+    # from the stored history (solver.refresh_products), bounding the
+    # additive f32 drift in the off-diagonal products.  Implemented as
+    # CHUNKED while_loop segments with the recompute BETWEEN segments
+    # (solve_from_state), so the contractions cost ~2m/K extra passes
+    # amortized — the earlier in-loop lax.cond formulation ran them every
+    # iteration because XLA-TPU executes both cond branches (7x measured at
+    # d=2^20; see tests/test_refresh.py for the drift bound this buys).
+    # None (default) is fine for typical runs: the no-cancellation
+    # incremental updates (u1 = S@y_new directly) plus the curvature
+    # pair-skip keep every observed f32 workload finite
+    # (tests/test_robustness.py).  Not applied under record_trace (the
+    # bounded-scan trace path is for diagnostics).
     refresh_interval: Optional[int] = None
     # When set, the two-loop individually skips pairs with sy <= threshold —
     # the GPU reference's behavior (L-BFGS.cu:222-223, threshold 1e-10).  When

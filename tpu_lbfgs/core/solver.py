@@ -278,37 +278,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         Sg_next = jnp.where(failed, state.Sg, Sg_next)
         Yg_next = jnp.where(failed, state.Yg, Yg_next)
 
-        # Periodic drift refresh (cfg.refresh_interval): recompute the
-        # products from the post-update history.  lax.cond keeps the heavy
-        # contractions off the common path in the single-instance
-        # while_loop; under vmap the pred is batched and both branches run
-        # (batched solves are small-d, so the amortized cost stays small).
-        if cfg.refresh_interval is not None:
-            dtype = g.dtype
-
-            def _fresh(_):
-                g_eff = jnp.where(failed, g, g_new).reshape(blk)
-                dn_mm = (((1, 2), (1, 2)), ((), ()))
-                dn_mv = (((1, 2), (0, 1)), ((), ()))
-                return (
-                    lax.dot_general(s_hist, y_hist, dn_mm,
-                                    preferred_element_type=dtype),
-                    lax.dot_general(y_hist, y_hist, dn_mm,
-                                    preferred_element_type=dtype),
-                    lax.dot_general(s_hist, g_eff, dn_mv,
-                                    preferred_element_type=dtype),
-                    lax.dot_general(y_hist, g_eff, dn_mv,
-                                    preferred_element_type=dtype),
-                )
-
-            # ~failed: a frozen (failed) lane must never be perturbed — under
-            # vmap it keeps re-running deterministically, and a k-scheduled
-            # refresh could otherwise alter its products and resurrect it.
-            do_refresh = (((state.k + 1) % cfg.refresh_interval) == 0) \
-                & ~failed
-            SY_next, YY_next, Sg_next, Yg_next = lax.cond(
-                do_refresh, _fresh,
-                lambda _: (SY_next, YY_next, Sg_next, Yg_next), None)
+        # Drift refresh is NOT done here: an in-loop lax.cond executes both
+        # branches on TPU, so a k-scheduled recompute would cost its full
+        # contractions EVERY iteration (measured 7x at d=2^20).  Instead
+        # solve_from_state splits the run into while_loop segments and
+        # recomputes the products BETWEEN segments (cfg.refresh_interval).
     else:
         SY_next, YY_next = state.SY, state.YY
         Sg_next, Yg_next = state.Sg, state.Yg
@@ -359,19 +333,114 @@ def _running(cfg: LBFGSConfig, state: LBFGSState) -> Array:
             & (state.k < cfg.max_iters))
 
 
+def refresh_products(state: LBFGSState) -> LBFGSState:
+    """Recompute the incremental history products SY/YY/Sg/Yg from the
+    stored (m, R, L) rows and the current gradient — exactly the ``compact``
+    path's contractions — zeroing the additive f32 drift that
+    ``compact_incremental`` accumulates in the off-diagonal entries.  The
+    curvature-critical diagonals are restored from the per-slot EXACT tail
+    scalars (sy_hist/yy_hist), which are strictly more accurate than a
+    re-contraction (especially with a bfloat16 history).
+
+    Called between solve segments (solve_from_state with
+    cfg.refresh_interval), never inside the hot loop.
+    """
+    dtype = state.g.dtype
+    dn_mm = (((1, 2), (1, 2)), ((), ()))
+    dn_mv = (((1, 2), (0, 1)), ((), ()))
+    g3 = state.g.reshape(state.s_hist.shape[1:])
+    SY = lax.dot_general(state.s_hist, state.y_hist, dn_mm,
+                         preferred_element_type=dtype)
+    YY = lax.dot_general(state.y_hist, state.y_hist, dn_mm,
+                         preferred_element_type=dtype)
+    Sg = lax.dot_general(state.s_hist, g3, dn_mv,
+                         preferred_element_type=dtype)
+    Yg = lax.dot_general(state.y_hist, g3, dn_mv,
+                         preferred_element_type=dtype)
+    m = SY.shape[0]
+    idx = jnp.arange(m)
+    SY = SY.at[idx, idx].set(state.sy_hist)
+    YY = YY.at[idx, idx].set(state.yy_hist)
+    return state._replace(SY=SY, YY=YY, Sg=Sg, Yg=Yg)
+
+
 def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                      state: LBFGSState, dir_poly=None,
                      fused_tail=None, phi_batch=None) -> LBFGSState:
     """Run the while_loop from an arbitrary state (also used for resume from
-    checkpoint).  Returns the terminal state with status finalized."""
+    checkpoint).  Returns the terminal state with status finalized.
+
+    With cfg.refresh_interval set (compact_incremental only), the run is
+    split into nested while_loops: an inner loop of up to refresh_interval
+    iterations, an outer loop that recomputes the history products between
+    segments (refresh_products).  The contractions therefore run once per
+    SEGMENT — amortized to ~(2m passes / interval) extra traffic — instead
+    of the in-loop lax.cond formulation whose both-branches execution made
+    them run every iteration (7x measured; config.py docstring history).
+    """
     if cfg.record_trace:
         return _solve_traced(cfg, f, vg, state, dir_poly, fused_tail,
                              phi_batch)[0]
-    out = lax.while_loop(
-        partial(_running, cfg),
-        lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch),
-        state)
+    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch)
+    if cfg.refresh_interval is not None \
+            and cfg.direction == "compact_incremental":
+        chunk = jnp.asarray(cfg.refresh_interval, jnp.int32)
+
+        def segment(s: LBFGSState) -> LBFGSState:
+            k_cap = jnp.minimum(s.k + chunk, cfg.max_iters)
+            s = lax.while_loop(
+                lambda t: _running(cfg, t) & (t.k < k_cap), body, s)
+            return refresh_products(s)
+
+        out = lax.while_loop(partial(_running, cfg), segment, state)
+    else:
+        out = lax.while_loop(partial(_running, cfg), body, state)
     return out._replace(status=_finalize_status(cfg, out))
+
+
+def make_solve_segment(cfg: LBFGSConfig, f: ObjFn, grad=None,
+                       value_and_grad=None, iters: Optional[int] = None,
+                       dir_poly=None, fused_tail=None, phi_batch=None,
+                       donate: bool = True):
+    """Compiled ``state -> state`` running up to ``iters`` iterations (or to
+    convergence), for host-driven segmented solves: periodic checkpointing
+    (io.checkpoint.save_state between segments), host-side monitoring, or
+    very long runs.
+
+    The input state's buffers are DONATED (types.py design note): at giant d
+    the state is multi-GB (6.7 GB at d=2^26, m=10, f32) and double-buffering
+    it across segment boundaries would exhaust the 16 GB HBM; donation lets
+    XLA alias the output into the input buffers.  The caller must not reuse
+    the passed-in state afterwards (jax enforces this).
+
+    Segments do NOT finalize status (a segment ending at its cap is still
+    RUNNING); call ``finalize_result`` after the last segment.  With
+    cfg.refresh_interval set (compact_incremental), the history products are
+    refreshed at each segment boundary — the reference point for the
+    in-segment drift bound tested in tests/test_refresh.py.
+    """
+    vg = make_value_and_grad(f, grad, value_and_grad)
+    seg_iters = iters if iters is not None \
+        else (cfg.refresh_interval or cfg.max_iters)
+    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch)
+
+    def segment(state: LBFGSState) -> LBFGSState:
+        k_cap = jnp.minimum(state.k + seg_iters, cfg.max_iters)
+        out = lax.while_loop(
+            lambda t: _running(cfg, t) & (t.k < k_cap), body, state)
+        if cfg.direction == "compact_incremental" \
+                and cfg.refresh_interval is not None:
+            out = refresh_products(out)
+        return out
+
+    return jax.jit(segment, donate_argnums=0 if donate else ())
+
+
+def finalize_result(cfg: LBFGSConfig, state: LBFGSState) -> SolveResult:
+    """Resolve RUNNING status to CONVERGED/MAX_ITERS and package a
+    SolveResult — the closing step of a make_solve_segment driver loop."""
+    return _state_to_result(
+        state._replace(status=_finalize_status(cfg, state)), None)
 
 
 def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,

@@ -7,28 +7,45 @@ solve program on every host (SPMD) — reductions ride ICI within a slice and
 DCN across slices, chosen by XLA from the mesh layout.
 
 Cannot be exercised on this single-host environment beyond API shape; the
-8-virtual-device CPU tests plus the driver's ``dryrun_multichip`` validate
-the sharding program itself.
+8-virtual-device CPU tests (tests/test_multihost.py) plus the driver's
+``dryrun_multichip`` validate the sharding program itself.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
+import numpy as np
+from jax.sharding import Mesh
 
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize the multi-host runtime (idempotent no-op on single host
-    when no coordinator is configured)."""
+    """Initialize the multi-host runtime.
+
+    With no arguments, relies on TPU-pod auto-detection via the environment
+    (a no-op on a plain single host, where auto-detection finds nothing and
+    jax raises about the missing coordinator — that specific case is
+    suppressed).  With explicit coordinator arguments, any failure is REAL
+    (wrong address, port clash, process-count mismatch) and propagates;
+    calling twice is idempotent.
+    """
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and num_processes is None:
-        # Single-process run (or TPU pod auto-detection via env).
         try:
             jax.distributed.initialize()
-        except Exception:
-            # Already initialized or single-host without coordinator: fine.
-            pass
+        except (RuntimeError, ValueError) as e:
+            # Only the single-host-without-coordinator case is benign; it
+            # presents as "couldn't auto-detect" / missing-arguments errors.
+            msg = str(e).lower()
+            benign = ("coordinator_address" in msg or "auto" in msg
+                      or "unable to detect" in msg
+                      or "already initialized" in msg
+                      or "must be defined" in msg)
+            if not benign:
+                raise
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -37,11 +54,45 @@ def initialize(coordinator_address: Optional[str] = None,
     )
 
 
-def global_mesh(axis_name: str = "d"):
-    """Mesh over every device in the job (all hosts)."""
-    from .mesh import make_mesh
-    return make_mesh(jax.devices(), axis_name)
+def global_mesh(axis_name: str = "d",
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over every device in the job (all hosts), ordered by
+    ``mesh_utils.create_device_mesh`` so neighbouring mesh positions are
+    ICI neighbours (the halo ppermutes in dist.pallas_sharded and the psum
+    rings then ride ICI links, not DCN hops)."""
+    from jax.experimental import mesh_utils
+
+    devices = list(jax.devices()) if devices is None else list(devices)
+    try:
+        arr = mesh_utils.create_device_mesh((len(devices),), devices=devices)
+    except (ValueError, AssertionError, NotImplementedError):
+        # Non-TPU backends (CPU tests) have no ICI topology metadata.
+        arr = np.asarray(devices)
+    return Mesh(arr, (axis_name,))
+
+
+def global_mesh_2d(batch_size: int, axis_names: tuple[str, str] = ("b", "d"),
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (batch, vector) mesh over all hosts' devices, ICI-aware: the
+    contiguous-minor vector axis gets the tighter ICI loops."""
+    from jax.experimental import mesh_utils
+
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if n % batch_size != 0:
+        raise ValueError(
+            f"{n} devices not divisible by batch axis {batch_size}")
+    shape = (batch_size, n // batch_size)
+    try:
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    except (ValueError, AssertionError, NotImplementedError):
+        arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
 
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()

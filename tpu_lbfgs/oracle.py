@@ -4,8 +4,8 @@ algorithm used as the trajectory-parity target for the JAX solver.
 This is a *specification* of the reference's exact decision rules
 (sequential-implementation/lbfgs.cpp:17-203 and both line_search.cpp files),
 written clean-room in NumPy with plain Python control flow — `goto`s become
-early returns, deques become lists.  tests/test_solver_parity.py asserts the
-jitted while_loop/scan solver follows the same iterate trajectory in fp64.
+early returns, deques become lists.  tests/test_solver.py asserts the jitted
+while_loop/scan solver follows the same iterate trajectory in fp64.
 
 A faithful C++ oracle with the same semantics lives in native/oracle.cpp and
 doubles as the CPU performance baseline for bench.py.
