@@ -1,0 +1,95 @@
+"""Machinery tests for the reference-protocol runner (bench/reference_protocol.py).
+
+The real experiment (5 seeds x 4 strategies x d up to 2^20, far starts, to
+convergence) runs on hardware via `python -m tpu_lbfgs.bench
+--reference-protocol`; these tests exercise the same code paths at small d
+on the CPU backend: cell execution, budget limiting, summary statistics,
+and the markdown rendering the PERFORMANCE.md table is produced from.
+"""
+import numpy as np
+import pytest
+
+from tpu_lbfgs.bench.reference_protocol import (
+    TABLE_I_STRATEGIES,
+    markdown_table,
+    run_cpu_cell,
+    run_protocol,
+    run_tpu_cell,
+)
+
+
+def test_table_i_strategy_names_are_valid():
+    from tpu_lbfgs.config import LINE_SEARCH_METHODS
+
+    for label, key in TABLE_I_STRATEGIES:
+        assert key in LINE_SEARCH_METHODS, (label, key)
+
+
+def test_cpu_cell_converges_far_start_quadratic():
+    cell = run_cpu_cell("quadratic", 256, "backtracking", seeds=(42, 365))
+    assert cell["seeds_run"] == 2
+    assert all(s == "converged" for s in cell["statuses"])
+    # Reference sequential config: ||g|| <= 1e-8 in f64.
+    assert cell["max_final_g_norm"] <= 1e-8
+    assert cell["mean_iterations"] >= 1
+
+
+def test_cpu_cell_budget_limits_seeds():
+    # A zero budget still runs the first seed (the check needs one measured
+    # wall to project from) but no more.
+    cell = run_cpu_cell("quadratic", 256, "backtracking",
+                        seeds=(42, 365, 12345), budget_s=0.0)
+    assert cell["seeds_run"] == 1
+    assert cell["seeds_total"] == 3
+
+
+def test_tpu_cell_far_start_quadratic_converges_f32():
+    # The quadratic stays in f32 range from U(-1000,1000) starts; the cell
+    # must converge to the GPU-config tolerance (1e-1) in a handful of
+    # iterations and report per-seed data.
+    cell = run_tpu_cell("quadratic", 256, "backtracking", seeds=(42,),
+                        use_pallas=False)
+    assert cell["seeds_run"] == 1
+    assert cell["statuses"] == ["converged"]
+    assert cell["max_final_g_norm"] <= 1e-1
+    assert cell["mean_iterations"] <= 50
+    assert "compile_s" in cell
+
+
+def test_tpu_cell_far_start_rosenbrock_wolfe_matches_oracle_iters():
+    # Wolfe backtracking survives far starts in f32 (growth phase escapes the
+    # floor); its iteration count should be the same order as the f64 oracle
+    # run of the same protocol (a coarse parity check: both ~8k at d=512).
+    tpu = run_tpu_cell("rosenbrock", 512, "backtracking_wolfe", seeds=(42,),
+                       use_pallas=False)
+    assert tpu["statuses"] == ["converged"]
+    cpu = run_cpu_cell("rosenbrock", 512, "backtracking_wolfe", seeds=(42,))
+    assert cpu["statuses"] == ["converged"]
+    ratio = tpu["mean_iterations"] / cpu["mean_iterations"]
+    assert 0.5 <= ratio <= 2.0, (tpu["mean_iterations"], cpu["mean_iterations"])
+
+
+def test_run_protocol_quick_grid_and_report(tmp_path):
+    out = tmp_path / "ref.json"
+    report = run_protocol(problem="quadratic", dims=(256, 512),
+                          seeds=(42, 365), cpu=True, tpu=True,
+                          cpu_budget_s=60.0, out=str(out), quick=True)
+    # quick: first dim only, first 2 seeds, 4 strategies x 3 backends
+    # (tpu-f64 sequential cfg, tpu-f32 parallel cfg, cpu oracle).
+    assert len(report["cells"]) == 12
+    assert {c["d"] for c in report["cells"]} == {256}
+    backends = {c["backend"] for c in report["cells"] if "backend" in c}
+    assert {"tpu-f64-seqcfg", "tpu-f32-parcfg", "cpu-native-f64"} <= backends
+    assert out.exists()
+    md = markdown_table(report)
+    assert md.count("\n") == 13  # header + rule + 12 rows
+    assert "Armijo Backtracking" in md and "cpu-native-f64" in md
+
+
+def test_markdown_table_renders_error_and_skip_rows():
+    report = {"cells": [
+        {"d": 10, "strategy": "S", "backend": "tpu", "error": "boom"},
+        {"d": 10, "strategy": "S", "backend": "cpu", "skipped": "budget"},
+    ]}
+    md = markdown_table(report)
+    assert "boom" in md and "skipped (budget)" in md

@@ -33,7 +33,27 @@ def main(argv=None) -> int:
     ap.add_argument("--per-config-timeout", type=int, default=300)
     ap.add_argument("--quick", action="store_true",
                     help="3 key configs only")
+    ap.add_argument("--reference-protocol", action="store_true",
+                    help="run the reference's published experiment instead: "
+                         "5 seeds x 4 strategies x d in {1e4,1e5,2^20}, "
+                         "x0 ~ U(-1000,1000), to convergence, TPU vs the "
+                         "native C++ oracle (Table-I analogue)")
+    ap.add_argument("--problem", default="rosenbrock")
+    ap.add_argument("--cpu-budget", type=float, default=600.0,
+                    help="per-(dim,strategy) CPU-oracle wall budget (s)")
+    ap.add_argument("--no-cpu", action="store_true")
+    ap.add_argument("--no-tpu", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.reference_protocol:
+        from .reference_protocol import run_protocol
+
+        out = args.out if args.out != "bench_results.json" \
+            else "reference_protocol_results.json"
+        run_protocol(problem=args.problem, cpu=not args.no_cpu,
+                     tpu=not args.no_tpu, cpu_budget_s=args.cpu_budget,
+                     out=out, quick=args.quick)
+        return 0
 
     import jax.numpy as jnp
 

@@ -56,7 +56,7 @@ def _x0(problem: str, d: int, seed: int, dtype) -> jnp.ndarray:
 def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
               iters: int = 200, cfg: Optional[LBFGSConfig] = None,
               dtype=jnp.float32, seeds=REFERENCE_SEEDS[:1],
-              repeats: int = 3) -> BenchResult:
+              repeats: int = 3, with_matvec: bool = False) -> BenchResult:
     """Fixed-iteration throughput of the jitted solver on the default device."""
     cfg = cfg or LBFGSConfig(line_search="backtracking", direction="compact")
     cfg = cfg.replace(max_iters=iters, tol=0.0)  # tol=0: never converge early
@@ -69,10 +69,12 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
             multi_phi_for,
         )
         vg = fused_value_and_grad(problem, use_pallas=True)
-        # with_matvec=False: XLA's dot_general on the lane-tiled (m, R, 128)
-        # history beats the in-kernel VPU matvec (measured 6346 vs 6197 it/s
-        # at d=2^20); the kernel still fuses trial point + vg + pair update.
-        fused_tail = fused_tail_for(problem, with_matvec=False,
+        # with_matvec=False default: XLA's dot_general on the lane-tiled
+        # (m, R, 128) history beats the in-kernel VPU matvec when the history
+        # is VMEM-resident (6346 vs 6197 it/s at d=2^20); at giant d the
+        # history streams and the fused matvec is worth re-measuring
+        # (bench.giant sweeps it).
+        fused_tail = fused_tail_for(problem, with_matvec=with_matvec,
                                     use_pallas=True)
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":

@@ -1,0 +1,303 @@
+"""The reference's published experiment, reproduced end to end (Table-I analogue).
+
+Protocol (cuda_lbfgs.pdf §IV; sequential-implementation/main.cpp:27-52;
+parallel-implementation/L-BFGS-Backtracking.cu:429-457):
+  - 5 seeded runs averaged, seeds 42, 365, 12345, 777777, 10000
+  - x0 ~ U(-1000, 1000)  (main.cpp:36-45)
+  - run to convergence: ||g|| <= 1e-8 / max 15,000 iters for the
+    CPU-sequential config (main.cpp:48-51), ||g|| <= 1e-1 / max 50,000 for
+    the GPU-parallel config (L-BFGS-Backtracking.cu:446)
+  - per line-search strategy: the paper's Table I compares Armijo
+    Backtracking / Armijo Interpolation / Wolfe Backtracking / Wolfe
+    Interpolation on 10,000-D Rosenbrock
+  - dims: the reference publishes d=10,000 ("similar trend continues at
+    20,000"); we extend to 1e5 and the 1e6-class 2^20.
+
+Backends:
+  - cpu: the native C++17 oracle (-O3 -march=native) running the reference's
+    sequential configuration in float64 — this machine's stand-in for the
+    reference CPU implementation.
+  - tpu: this framework's fast stack (compact_incremental + polynomial line
+    search + fused Pallas kernels, float32) running the reference's parallel
+    configuration (C2=0.7, alpha-floor rescue, pair skip — config.py
+    REFERENCE_PARALLEL).
+
+Cells whose projected CPU cost exceeds the per-dimension budget run fewer
+seeds (recorded in `seeds_run`) — an unconverged 15,000-iteration Rosenbrock
+run at d=2^20 costs ~30 min on this host's 2 vCPU; the table records the
+measured subset rather than an extrapolation.
+"""
+from __future__ import annotations
+
+import json
+import signal
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import REFERENCE_PARALLEL, REFERENCE_SEQUENTIAL
+from .harness import REFERENCE_SEEDS
+
+# Paper Table I rows -> this framework's strategy names.
+TABLE_I_STRATEGIES = (
+    ("Armijo Backtracking", "backtracking"),
+    ("Armijo Interpolation", "armijo_interpolation"),
+    ("Wolfe Backtracking", "backtracking_wolfe"),
+    ("Wolfe Interpolation", "wolfe_interpolation"),
+)
+
+DIMS = (10_000, 100_000, 1 << 20)
+
+def _status_name(s) -> str:
+    from ..types import Status
+
+    return s if isinstance(s, str) else Status.NAMES.get(int(s), str(s))
+
+
+class _CellTimeout(Exception):
+    pass
+
+
+def _alarm(_s, _f):
+    raise _CellTimeout()
+
+
+def _x0_np(d: int, seed: int) -> np.ndarray:
+    from ..problems.suite import reference_x0
+
+    return np.asarray(reference_x0(d, seed))
+
+
+def run_cpu_cell(problem: str, d: int, strategy: str,
+                 seeds=REFERENCE_SEEDS, budget_s: float = 600.0) -> dict:
+    """To-convergence runs of the native oracle, reference sequential config
+    (tol=1e-8, max 15,000), float64.  Stops adding seeds when the budget is
+    spent; `seeds_run` records how many completed."""
+    from ..native import native_lbfgs
+
+    cfg = REFERENCE_SEQUENTIAL.replace(line_search=strategy)
+    walls, iters, fs, gnorms, statuses = [], [], [], [], []
+    t_start = time.perf_counter()
+    for seed in seeds:
+        if walls and time.perf_counter() - t_start + max(walls) > budget_s:
+            break
+        x0 = _x0_np(d, seed)
+        t0 = time.perf_counter()
+        r = native_lbfgs(problem, x0, cfg)
+        walls.append(time.perf_counter() - t0)
+        iters.append(int(r["iterations"]))
+        fs.append(float(r["f"]))
+        gnorms.append(float(r["g_norm"]))
+        statuses.append(r["status"])
+    return _summarize("cpu-native-f64", walls, iters, fs, gnorms, statuses,
+                      len(seeds))
+
+
+def run_tpu_cell(problem: str, d: int, strategy: str,
+                 seeds=REFERENCE_SEEDS, use_pallas: bool = True,
+                 dtype: str = "float32") -> dict:
+    """To-convergence runs of the jitted TPU solver.
+
+    dtype="float32": the reference PARALLEL config (tol=1e-1, max 50,000,
+    C2=0.7, rescue/skip quirks — the GPU drivers' setup) on this framework's
+    fast stack.  NOTE: from U(-1000,1000) starts the parallel reference's own
+    recovery quirk (alpha-underflow -> rescue step 0.5;
+    parallel line_search.cpp:38-41) overflows float32 for the plain-Armijo
+    searches — those cells record line_search_failed honestly; Wolfe
+    backtracking's growth phase survives and converges.
+
+    dtype="float64": the reference SEQUENTIAL config (tol=1e-8, max 15,000,
+    C2=0.9, all-double — exactly what the CPU oracle runs), giving the direct
+    GPU-vs-CPU wall-clock comparison of cuda_lbfgs.pdf §IV-A/Fig. 1.  f64 is
+    XLA-emulated on TPU; Pallas kernels are f32-only, so this path uses the
+    jnp stack.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.solver import init_state, make_value_and_grad, solve_from_state
+    from ..problems import get_problem
+
+    # ls_eval="direct": the reference re-evaluates f at each trial point, and
+    # the polynomial rewrite is unusable here anyway — at U(-1000,1000) starts
+    # the degree-4 directional coefficients (~|d|^4 ~ 1e46) overflow float32,
+    # while direct evaluation only produces inf at over-long trial steps,
+    # which the Armijo comparison rejects harmlessly.
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        use_pallas = False
+        cfg = REFERENCE_SEQUENTIAL.replace(
+            line_search=strategy, direction="compact_incremental",
+            ls_eval="direct", use_pallas=False, history_dtype=None)
+    else:
+        cfg = REFERENCE_PARALLEL.replace(
+            line_search=strategy, direction="compact_incremental",
+            ls_eval="direct", use_pallas=use_pallas)
+    p = get_problem(problem)
+    if cfg.use_pallas:
+        from ..problems.suite import fused_tail_for, fused_value_and_grad
+
+        vg = fused_value_and_grad(problem, use_pallas=True)
+        fused_tail = fused_tail_for(problem, with_matvec=False,
+                                    use_pallas=True)
+    else:
+        vg = make_value_and_grad(p.f, p.grad)
+        fused_tail = None
+    dir_poly = None
+
+    @jax.jit
+    def run(x0):
+        st = init_state(vg, x0, cfg.m, cfg.history_dtype)
+        return solve_from_state(cfg, p.f, vg, st, dir_poly, fused_tail)
+
+    walls, iters, fs, gnorms, statuses = [], [], [], [], []
+    compile_s = None
+    jdtype = jnp.float64 if dtype == "float64" else jnp.float32
+    for seed in seeds:
+        x0 = jnp.asarray(_x0_np(d, seed), jdtype)
+        t0 = time.perf_counter()
+        out = run(x0)
+        float(out.f)                       # end-to-end fence (harness note)
+        wall = time.perf_counter() - t0
+        if compile_s is None:              # first call pays the compile
+            compile_s = wall
+            t0 = time.perf_counter()
+            out = run(x0)
+            float(out.f)
+            wall = time.perf_counter() - t0
+        walls.append(wall)
+        iters.append(int(out.k))
+        fs.append(float(out.f))
+        gnorms.append(float(out.g_norm))
+        statuses.append(int(out.status))
+    label = "tpu-f64-seqcfg" if dtype == "float64" else "tpu-f32-parcfg"
+    cell = _summarize(label, walls, iters, fs, gnorms, statuses, len(seeds))
+    cell["compile_s"] = round(compile_s, 1)
+    return cell
+
+
+def _summarize(backend, walls, iters, fs, gnorms, statuses, n_seeds) -> dict:
+    if not walls:
+        return {"backend": backend, "seeds_run": 0, "skipped": "budget"}
+    mean_wall = float(np.mean(walls))
+    mean_iters = float(np.mean(iters))
+    return {
+        "backend": backend,
+        "seeds_run": len(walls),
+        "seeds_total": n_seeds,
+        "mean_wall_s": round(mean_wall, 4),
+        "mean_iterations": round(mean_iters, 1),
+        "iters_per_s": round(mean_iters / mean_wall, 1) if mean_wall else None,
+        "mean_final_f": float(np.mean(fs)),
+        "max_final_g_norm": float(np.max(gnorms)),
+        "statuses": [_status_name(s) for s in statuses],
+        "per_seed_wall_s": [round(w, 3) for w in walls],
+        "per_seed_iterations": iters,
+    }
+
+
+def run_protocol(problem: str = "rosenbrock", dims=DIMS,
+                 seeds=REFERENCE_SEEDS, cpu: bool = True, tpu: bool = True,
+                 cpu_budget_s: float = 600.0,
+                 cell_timeout_s: int = 900,
+                 out: Optional[str] = "reference_protocol_results.json",
+                 quick: bool = False) -> dict:
+    """Run the full per-strategy, per-dimension grid and return/write a
+    report dict.  Each cell runs under its own alarm so one pathological
+    configuration cannot eat the whole experiment."""
+    if quick:
+        dims = dims[:1]
+        seeds = seeds[:2]
+    signal.signal(signal.SIGALRM, _alarm)
+    cells = []
+    backends = ()
+    if tpu:
+        backends += ("tpu-f64", "tpu-f32")
+    if cpu:
+        backends += ("cpu",)
+    for d in dims:
+        for label, strategy in TABLE_I_STRATEGIES:
+            for backend in backends:
+                signal.alarm(cell_timeout_s)
+                t0 = time.perf_counter()
+                try:
+                    if backend == "tpu-f64":
+                        cell = run_tpu_cell(problem, d, strategy, seeds,
+                                            dtype="float64")
+                    elif backend == "tpu-f32":
+                        cell = run_tpu_cell(problem, d, strategy, seeds,
+                                            dtype="float32")
+                    else:
+                        cell = run_cpu_cell(problem, d, strategy, seeds,
+                                            budget_s=cpu_budget_s)
+                except _CellTimeout:
+                    cell = {"backend": backend, "error": "cell timeout"}
+                except Exception as e:  # noqa: BLE001 - record and continue
+                    cell = {"backend": backend,
+                            "error": f"{type(e).__name__}: {e}"}
+                finally:
+                    signal.alarm(0)
+                cell.update({"d": d, "strategy": label,
+                             "strategy_key": strategy,
+                             "cell_wall_s": round(time.perf_counter() - t0, 1)})
+                cells.append(cell)
+                print(_cell_line(cell), flush=True)
+    report = {
+        "problem": problem,
+        "protocol": {
+            "x0": "U(-1000, 1000), seeds " + ", ".join(map(str, seeds)),
+            "cpu_config": "sequential reference: tol=1e-8, max_iters=15000, "
+                          "m=10, C2=0.9, float64 (main.cpp:48-51)",
+            "tpu_f64_config": "same sequential config on TPU (XLA-emulated "
+                              "f64) — the direct GPU-vs-CPU wall comparison "
+                              "of cuda_lbfgs.pdf Fig. 1",
+            "tpu_f32_config": "parallel reference: tol=1e-1, max_iters=50000, "
+                              "m=10, C2=0.7, rescue+skip quirks, float32 "
+                              "(L-BFGS-Backtracking.cu:446, constants.h)",
+        },
+        "cells": cells,
+    }
+    if out:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {out}")
+    print()
+    print(markdown_table(report))
+    return report
+
+
+def _cell_line(c: dict) -> str:
+    head = f"{c['backend']:4s} d={c['d']:<8d} {c['strategy']:22s}"
+    if "error" in c:
+        return f"{head} ERROR {c['error']}"
+    if c.get("skipped"):
+        return f"{head} SKIPPED ({c['skipped']})"
+    return (f"{head} {c['mean_wall_s']:9.3f}s  {c['mean_iterations']:8.1f} it"
+            f"  ||g||<={c['max_final_g_norm']:.2e}"
+            f"  [{c['seeds_run']}/{c['seeds_total']} seeds]")
+
+
+def markdown_table(report: dict) -> str:
+    """Render the report as the PERFORMANCE.md table."""
+    lines = [
+        f"| d | strategy | backend | mean wall (s) | mean iters | it/s |"
+        f" final f (mean) | status | seeds |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for c in report["cells"]:
+        if "error" in c:
+            lines.append(f"| {c['d']:,} | {c['strategy']} | {c['backend']} |"
+                         f" — | — | — | — | {c['error']} | 0 |")
+            continue
+        if c.get("skipped"):
+            lines.append(f"| {c['d']:,} | {c['strategy']} | {c['backend']} |"
+                         f" — | — | — | — | skipped ({c['skipped']}) | 0 |")
+            continue
+        status = max(set(c["statuses"]), key=c["statuses"].count)
+        lines.append(
+            f"| {c['d']:,} | {c['strategy']} | {c['backend']} |"
+            f" {c['mean_wall_s']:.3f} | {c['mean_iterations']:.0f} |"
+            f" {c['iters_per_s']:,} | {c['mean_final_f']:.3e} |"
+            f" {status} | {c['seeds_run']}/{c['seeds_total']} |")
+    return "\n".join(lines)

@@ -32,6 +32,7 @@ every reduction and gradient by a global-index validity test.
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -41,7 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_ROWS = 512        # 512*128*4B = 256 KiB per streamed buffer
+# Rows per grid step for the streaming kernels; 512*128*4B = 256 KiB per
+# streamed buffer.  Env-overridable for block-size sweeps on real hardware
+# (set before import; kernels read it at trace time).
+BLOCK_ROWS = int(os.environ.get("TPU_LBFGS_BLOCK_ROWS", "512"))
 COMBINE_ROWS = 128      # smaller blocks: (m, rows, 128) history tiles x2
 
 
