@@ -71,15 +71,19 @@ def test_tpu_cell_far_start_rosenbrock_wolfe_matches_oracle_iters():
 
 def test_run_protocol_quick_grid_and_report(tmp_path):
     out = tmp_path / "ref.json"
+    # isolate=False: in-process cells (subprocess isolation would spawn
+    # real-TPU interpreters from inside the CPU-pinned test env).
     report = run_protocol(problem="quadratic", dims=(256, 512),
                           seeds=(42, 365), cpu=True, tpu=True,
-                          cpu_budget_s=60.0, out=str(out), quick=True)
+                          cpu_budget_s=60.0, out=str(out), quick=True,
+                          isolate=False)
     # quick: first dim only, first 2 seeds, 4 strategies x 3 backends
-    # (tpu-f64 sequential cfg, tpu-f32 parallel cfg, cpu oracle).
+    # (tpu-f32 verbatim parallel cfg, tpu-f32 no-rescue, cpu oracle).
     assert len(report["cells"]) == 12
     assert {c["d"] for c in report["cells"]} == {256}
     backends = {c["backend"] for c in report["cells"] if "backend" in c}
-    assert {"tpu-f64-seqcfg", "tpu-f32-parcfg", "cpu-native-f64"} <= backends
+    assert {"tpu-f32-parcfg", "tpu-f32-norescue",
+            "cpu-native-f64"} <= backends
     assert out.exists()
     md = markdown_table(report)
     assert md.count("\n") == 13  # header + rule + 12 rows
@@ -93,3 +97,18 @@ def test_markdown_table_renders_error_and_skip_rows():
     ]}
     md = markdown_table(report)
     assert "boom" in md and "skipped (budget)" in md
+
+
+def test_norescue_recovers_where_parallel_quirk_overflows():
+    """The numerical finding the protocol table encodes: from U(-1000,1000)
+    starts in f32, the parallel reference's alpha-underflow rescue (step 0.5,
+    parallel line_search.cpp:38-41) overflows and kills plain-Armijo cells,
+    while disabling it (sequential underflow semantics) follows the f64
+    oracle's recovery path and converges to the GPU tolerance."""
+    quirky = run_tpu_cell("rosenbrock", 512, "backtracking", seeds=(42,),
+                          use_pallas=False)
+    assert quirky["statuses"] == ["line_search_failed"]
+    clean = run_tpu_cell("rosenbrock", 512, "backtracking", seeds=(42,),
+                         use_pallas=False, no_rescue=True)
+    assert clean["statuses"] == ["converged"]
+    assert clean["max_final_g_norm"] <= 1e-1

@@ -119,3 +119,47 @@ def test_nonfinite_step_freezes_lane():
                       max_iters=50, tol=1e-6, direction="compact")
     out = solve_from_state(cfg, f, vg, init_state(vg, x0, cfg.m))
     assert bool(jnp.isfinite(out.f)) or int(out.status) == Status.LINE_SEARCH_FAILED
+
+
+# -----------------------------------------------------------------------------
+# Sanitizer mode (SURVEY.md §5: the XLA analogue of compute-sanitizer)
+# -----------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ls,direction", [
+    ("backtracking", "compact_incremental"),
+    ("wolfe_interpolation", "compact"),
+    ("backtracking_speculative", "two_loop"),
+])
+def test_solver_is_nan_free_under_debug_nans(ls, direction):
+    """jax_debug_nans aborts the moment ANY op produces a NaN; the solver's
+    clean path (guarded rho/gamma divisions, masked skips, branchless
+    freezes) must never rely on transient NaNs.  This is the sanitizer run
+    the reference has no analogue of (it hand-fences CUDA streams instead —
+    SURVEY.md §5 race-detection row)."""
+    p = get_problem("rosenbrock")
+    vg = make_value_and_grad(p.f, p.grad)
+    x0 = jnp.asarray(np.random.default_rng(7).uniform(-2, 2, 1024),
+                     jnp.float32)
+    c2 = 0.9 if ls == "wolfe_interpolation" else 0.7
+    cfg = LBFGSConfig(line_search=ls, direction=direction, max_iters=40,
+                      tol=1e-6, c2=c2)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        out = solve_from_state(cfg, p.f, vg, init_state(vg, x0, cfg.m))
+        assert bool(jnp.isfinite(out.f))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_cli_debug_nans_flag():
+    """--debug-nans enables the config flag and the solve still completes."""
+    from tpu_lbfgs.cli import main
+
+    jax.config.update("jax_debug_nans", False)
+    try:
+        rc = main(["--problem", "quadratic", "--dim", "256", "--max-iters",
+                   "20", "--device", "cpu", "--debug-nans", "--json"])
+        assert rc == 0
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -54,3 +54,18 @@ def test_accurate_dots_solver_path():
     cfg = LBFGSConfig(max_iters=200, tol=1e-4, accurate_dots=True)
     r = minimize(p.f, jnp.full((1000,), 1.5, jnp.float32), cfg, grad=p.grad)
     assert int(r.status) == Status.CONVERGED
+
+
+def test_time_to_tolerance_refined_reaches_1e5():
+    """The north-star metric path (BASELINE.json: time-to-||g||<=1e-5 at
+    d~1e6): two-stage f32->f64 refinement must actually reach 1e-5 — below
+    the f32 gradient-entry noise floor — with only a handful of f64
+    iterations (superlinear local convergence from the f32 iterate)."""
+    from tpu_lbfgs.bench.harness import time_to_tolerance_refined
+    from tpu_lbfgs.types import Status
+
+    r = time_to_tolerance_refined(d=2048, max_iters=30_000,
+                                  refine_iters=2_000)
+    assert r["status"] == Status.CONVERGED
+    assert r["g_norm"] <= 1e-5
+    assert r["refine_iterations"] <= 100

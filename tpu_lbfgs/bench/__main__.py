@@ -41,8 +41,16 @@ def main(argv=None) -> int:
     ap.add_argument("--problem", default="rosenbrock")
     ap.add_argument("--cpu-budget", type=float, default=600.0,
                     help="per-(dim,strategy) CPU-oracle wall budget (s)")
+    ap.add_argument("--tpu-budget", type=float, default=600.0,
+                    help="per-cell TPU seed-loop wall budget (s)")
+    ap.add_argument("--cell-timeout", type=int, default=900,
+                    help="hard alarm per cell (s)")
     ap.add_argument("--no-cpu", action="store_true")
     ap.add_argument("--no-tpu", action="store_true")
+    ap.add_argument("--tpu-f64", action="store_true",
+                    help="include the emulated-f64 sequential-config TPU "
+                         "cells (compiles are tunnel-hostile; see "
+                         "reference_protocol.py docstring)")
     args = ap.parse_args(argv)
 
     if args.reference_protocol:
@@ -52,7 +60,9 @@ def main(argv=None) -> int:
             else "reference_protocol_results.json"
         run_protocol(problem=args.problem, cpu=not args.no_cpu,
                      tpu=not args.no_tpu, cpu_budget_s=args.cpu_budget,
-                     out=out, quick=args.quick)
+                     tpu_budget_s=args.tpu_budget,
+                     cell_timeout_s=args.cell_timeout,
+                     out=out, quick=args.quick, tpu_f64=args.tpu_f64)
         return 0
 
     import jax.numpy as jnp

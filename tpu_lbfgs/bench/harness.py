@@ -235,3 +235,63 @@ def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
     return {"wall_s": wall, "iterations": int(out.k),
             "status": int(out.status), "g_norm": float(out.g_norm),
             "f": float(out.f)}
+
+
+def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
+                              coarse_tol: float = 1e-3, tol: float = 1e-5,
+                              max_iters: int = 150_000,
+                              refine_iters: int = 5_000,
+                              cfg: Optional[LBFGSConfig] = None,
+                              seed: int = 42) -> dict:
+    """Time to ||g|| <= tol via two-stage precision refinement — the
+    BASELINE.json north-star metric (tol=1e-5 at d~1e6), which is below the
+    float32 GRADIENT-ENTRY noise floor at this d (each f32 gradient entry
+    carries ~eps*scale ~ 1e-7 of rounding near the minimum; 1e6 entries put
+    the norm floor around 1e-3 regardless of how the reduction is summed, so
+    cfg.accurate_dots alone cannot reach 1e-5).
+
+    Stage 1 solves in f32 at full speed to coarse_tol; stage 2 warm-starts
+    f64 (XLA-emulated on TPU — slow per iteration, but superlinear local
+    convergence needs only a handful) from the f32 iterate with a fresh
+    history.  Total wall is end-to-end, both stages fenced.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    cfg = cfg or LBFGSConfig(line_search="backtracking",
+                             direction="compact_incremental",
+                             ls_eval="polynomial", fidelity="fixed",
+                             pair_skip_threshold=1e-10)
+    p = get_problem(problem)
+    vg = make_value_and_grad(p.f, p.grad)
+    dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
+    cfg32 = cfg.replace(max_iters=max_iters, tol=coarse_tol)
+    cfg64 = cfg.replace(max_iters=refine_iters, tol=tol)
+
+    @jax.jit
+    def coarse(x0):
+        st = init_state(vg, x0, cfg32.m, cfg32.history_dtype)
+        return solve_from_state(cfg32, p.f, vg, st, dir_poly)
+
+    @jax.jit
+    def refine(x32):
+        st = init_state(vg, x32.astype(jnp.float64), cfg64.m, None)
+        return solve_from_state(cfg64, p.f, vg, st, dir_poly)
+
+    x0 = _x0(problem, d, seed, jnp.float32)
+    out1 = coarse(x0)            # warmup/compile both stages
+    out2 = refine(out1.x)
+    float(out2.f)
+    t0 = time.perf_counter()
+    out1 = coarse(x0)
+    float(out1.f)
+    t1 = time.perf_counter()
+    out2 = refine(out1.x)
+    float(out2.f)
+    t2 = time.perf_counter()
+    return {"wall_s": t2 - t0, "coarse_wall_s": t1 - t0,
+            "refine_wall_s": t2 - t1,
+            "coarse_iterations": int(out1.k),
+            "refine_iterations": int(out2.k),
+            "status": int(out2.status), "g_norm": float(out2.g_norm),
+            "f": float(out2.f)}

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import json
 import signal
+import subprocess
+import sys
 import time
 from typing import Optional
 
@@ -77,6 +79,25 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
     from ..native import native_lbfgs
 
     cfg = REFERENCE_SEQUENTIAL.replace(line_search=strategy)
+
+    # Projection probe: a 200-iteration capped run of the same config.  If it
+    # converges, the cell is cheap and runs in full; otherwise project the
+    # 15,000-iteration cost and skip the cell when even ONE seed would blow
+    # the budget (an unconverged far-start Rosenbrock at d=2^20 costs ~27 min
+    # per seed on this 2-vCPU-class host).
+    probe_iters = 200
+    t0 = time.perf_counter()
+    probe = native_lbfgs(problem, _x0_np(d, seeds[0]),
+                         cfg.replace(max_iters=probe_iters))
+    probe_wall = time.perf_counter() - t0
+    if probe["status"] != "converged":
+        projected = probe_wall * (cfg.max_iters / probe_iters)
+        if projected > budget_s:
+            return {"backend": "cpu-native-f64", "seeds_run": 0,
+                    "skipped": "budget",
+                    "projected_wall_s_per_seed": round(projected, 1),
+                    "probe_iters_per_s": round(probe_iters / probe_wall, 2)}
+
     walls, iters, fs, gnorms, statuses = [], [], [], [], []
     t_start = time.perf_counter()
     for seed in seeds:
@@ -96,22 +117,32 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
 
 def run_tpu_cell(problem: str, d: int, strategy: str,
                  seeds=REFERENCE_SEEDS, use_pallas: bool = True,
-                 dtype: str = "float32") -> dict:
+                 dtype: str = "float32", budget_s: float = 600.0,
+                 no_rescue: bool = False) -> dict:
     """To-convergence runs of the jitted TPU solver.
 
-    dtype="float32": the reference PARALLEL config (tol=1e-1, max 50,000,
-    C2=0.7, rescue/skip quirks — the GPU drivers' setup) on this framework's
-    fast stack.  NOTE: from U(-1000,1000) starts the parallel reference's own
-    recovery quirk (alpha-underflow -> rescue step 0.5;
-    parallel line_search.cpp:38-41) overflows float32 for the plain-Armijo
-    searches — those cells record line_search_failed honestly; Wolfe
-    backtracking's growth phase survives and converges.
+    dtype="float32", no_rescue=False: the reference PARALLEL config verbatim
+    (tol=1e-1, max 50,000, C2=0.7, rescue/skip quirks — the GPU drivers'
+    setup) on this framework's fast stack.  NOTE: from U(-1000,1000) starts
+    the parallel reference's own recovery quirk (alpha-underflow -> rescue
+    step 0.5; parallel line_search.cpp:38-41) overflows float32 for the
+    plain-Armijo searches — those cells record line_search_failed honestly;
+    Wolfe backtracking's growth phase survives and converges.
+
+    no_rescue=True: same tolerances with the rescue disabled
+    (alpha_rescue_floor=None) — the sequential implementation's semantics
+    (step untested on the underflowed ~1e-8 alpha, which stays finite in
+    f32), and this framework's recommended configuration: measured, it
+    follows the f64 oracle's recovery path and converges for all four
+    strategies.
 
     dtype="float64": the reference SEQUENTIAL config (tol=1e-8, max 15,000,
     C2=0.9, all-double — exactly what the CPU oracle runs), giving the direct
     GPU-vs-CPU wall-clock comparison of cuda_lbfgs.pdf §IV-A/Fig. 1.  f64 is
-    XLA-emulated on TPU; Pallas kernels are f32-only, so this path uses the
-    jnp stack.
+    XLA-emulated on TPU (Pallas kernels are f32-only, so this path uses the
+    jnp stack); through the axon remote-compile tunnel the emulated solver's
+    compile exceeds any sane cell timeout, so the hardware protocol defaults
+    to the f32 variants and f64 is opt-in (--tpu-f64).
     """
     import jax
     import jax.numpy as jnp
@@ -133,7 +164,9 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
     else:
         cfg = REFERENCE_PARALLEL.replace(
             line_search=strategy, direction="compact_incremental",
-            ls_eval="direct", use_pallas=use_pallas)
+            ls_eval="direct", use_pallas=use_pallas,
+            alpha_rescue_floor=None if no_rescue
+            else REFERENCE_PARALLEL.alpha_rescue_floor)
     p = get_problem(problem)
     if cfg.use_pallas:
         from ..problems.suite import fused_tail_for, fused_value_and_grad
@@ -154,7 +187,14 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
     walls, iters, fs, gnorms, statuses = [], [], [], [], []
     compile_s = None
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
+    t_start = time.perf_counter()
     for seed in seeds:
+        # Same budget discipline as the CPU cells: stop adding seeds when the
+        # next run (projected from the slowest so far) would blow the budget
+        # (f64 is XLA-emulated on TPU; a 15k-iteration d=2^20 run can cost
+        # minutes per seed).  seeds_run records the measured subset.
+        if walls and (time.perf_counter() - t_start + max(walls)) > budget_s:
+            break
         x0 = jnp.asarray(_x0_np(d, seed), jdtype)
         t0 = time.perf_counter()
         out = run(x0)
@@ -171,7 +211,10 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
         fs.append(float(out.f))
         gnorms.append(float(out.g_norm))
         statuses.append(int(out.status))
-    label = "tpu-f64-seqcfg" if dtype == "float64" else "tpu-f32-parcfg"
+    if dtype == "float64":
+        label = "tpu-f64-seqcfg"
+    else:
+        label = "tpu-f32-norescue" if no_rescue else "tpu-f32-parcfg"
     cell = _summarize(label, walls, iters, fs, gnorms, statuses, len(seeds))
     cell["compile_s"] = round(compile_s, 1)
     return cell
@@ -199,10 +242,11 @@ def _summarize(backend, walls, iters, fs, gnorms, statuses, n_seeds) -> dict:
 
 def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                  seeds=REFERENCE_SEEDS, cpu: bool = True, tpu: bool = True,
-                 cpu_budget_s: float = 600.0,
+                 cpu_budget_s: float = 600.0, tpu_budget_s: float = 600.0,
                  cell_timeout_s: int = 900,
                  out: Optional[str] = "reference_protocol_results.json",
-                 quick: bool = False) -> dict:
+                 quick: bool = False, isolate: bool = True,
+                 tpu_f64: bool = False) -> dict:
     """Run the full per-strategy, per-dimension grid and return/write a
     report dict.  Each cell runs under its own alarm so one pathological
     configuration cannot eat the whole experiment."""
@@ -213,31 +257,59 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     cells = []
     backends = ()
     if tpu:
-        backends += ("tpu-f64", "tpu-f32")
+        backends += ("tpu-f32", "tpu-norescue")
+        if tpu_f64:
+            backends += ("tpu-f64",)
     if cpu:
         backends += ("cpu",)
+    # Circuit breaker: the axon tunnel's wedge mode blocks inside a C call,
+    # where neither SIGALRM nor Python exceptions can fire — TPU cells
+    # therefore run in SUBPROCESSES (SIGKILL-able) when isolate=True, and
+    # after 3 consecutive TPU timeouts the remaining TPU cells are skipped
+    # (the wedge outlives any per-cell wait).
+    tpu_timeouts_in_a_row = 0
     for d in dims:
         for label, strategy in TABLE_I_STRATEGIES:
             for backend in backends:
-                signal.alarm(cell_timeout_s)
                 t0 = time.perf_counter()
-                try:
-                    if backend == "tpu-f64":
-                        cell = run_tpu_cell(problem, d, strategy, seeds,
-                                            dtype="float64")
-                    elif backend == "tpu-f32":
-                        cell = run_tpu_cell(problem, d, strategy, seeds,
-                                            dtype="float32")
-                    else:
-                        cell = run_cpu_cell(problem, d, strategy, seeds,
-                                            budget_s=cpu_budget_s)
-                except _CellTimeout:
-                    cell = {"backend": backend, "error": "cell timeout"}
-                except Exception as e:  # noqa: BLE001 - record and continue
+                if backend.startswith("tpu") and tpu_timeouts_in_a_row >= 3:
                     cell = {"backend": backend,
-                            "error": f"{type(e).__name__}: {e}"}
-                finally:
-                    signal.alarm(0)
+                            "skipped": "tunnel circuit breaker"}
+                elif backend.startswith("tpu") and isolate:
+                    cell = _cell_subprocess(problem, d, strategy, backend,
+                                            seeds, tpu_budget_s,
+                                            cell_timeout_s)
+                else:
+                    signal.alarm(cell_timeout_s)
+                    try:
+                        if backend == "tpu-f64":
+                            cell = run_tpu_cell(problem, d, strategy, seeds,
+                                                dtype="float64",
+                                                budget_s=tpu_budget_s)
+                        elif backend == "tpu-norescue":
+                            cell = run_tpu_cell(problem, d, strategy, seeds,
+                                                dtype="float32",
+                                                budget_s=tpu_budget_s,
+                                                no_rescue=True)
+                        elif backend == "tpu-f32":
+                            cell = run_tpu_cell(problem, d, strategy, seeds,
+                                                dtype="float32",
+                                                budget_s=tpu_budget_s)
+                        else:
+                            cell = run_cpu_cell(problem, d, strategy, seeds,
+                                                budget_s=cpu_budget_s)
+                    except _CellTimeout:
+                        cell = {"backend": backend, "error": "cell timeout"}
+                    except Exception as e:  # noqa: BLE001 - record, continue
+                        cell = {"backend": backend,
+                                "error": f"{type(e).__name__}: {e}"}
+                    finally:
+                        signal.alarm(0)
+                if backend.startswith("tpu"):
+                    if cell.get("error", "").startswith("cell timeout"):
+                        tpu_timeouts_in_a_row += 1
+                    elif "error" not in cell and not cell.get("skipped"):
+                        tpu_timeouts_in_a_row = 0
                 cell.update({"d": d, "strategy": label,
                              "strategy_key": strategy,
                              "cell_wall_s": round(time.perf_counter() - t0, 1)})
@@ -249,12 +321,21 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
             "x0": "U(-1000, 1000), seeds " + ", ".join(map(str, seeds)),
             "cpu_config": "sequential reference: tol=1e-8, max_iters=15000, "
                           "m=10, C2=0.9, float64 (main.cpp:48-51)",
-            "tpu_f64_config": "same sequential config on TPU (XLA-emulated "
-                              "f64) — the direct GPU-vs-CPU wall comparison "
-                              "of cuda_lbfgs.pdf Fig. 1",
-            "tpu_f32_config": "parallel reference: tol=1e-1, max_iters=50000, "
-                              "m=10, C2=0.7, rescue+skip quirks, float32 "
-                              "(L-BFGS-Backtracking.cu:446, constants.h)",
+            "tpu_f32_config": "parallel reference VERBATIM: tol=1e-1, "
+                              "max_iters=50000, m=10, C2=0.7, rescue+skip "
+                              "quirks, float32 (L-BFGS-Backtracking.cu:446, "
+                              "constants.h); the rescue (alpha underflow -> "
+                              "step 0.5) overflows f32 from far starts — "
+                              "recorded as line_search_failed",
+            "tpu_norescue_config": "same tolerances, rescue disabled "
+                                   "(sequential-fidelity underflow "
+                                   "semantics) — the recommended f32 config; "
+                                   "converges for all strategies",
+            "tpu_f64_config": "(opt-in --tpu-f64) sequential config on TPU, "
+                              "XLA-emulated f64 — the direct GPU-vs-CPU wall "
+                              "comparison of cuda_lbfgs.pdf Fig. 1; the "
+                              "emulated compile exceeds cell timeouts "
+                              "through the axon tunnel",
         },
         "cells": cells,
     }
@@ -265,6 +346,57 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     print()
     print(markdown_table(report))
     return report
+
+
+def _cell_subprocess(problem: str, d: int, strategy: str, backend: str,
+                     seeds, budget_s: float, timeout_s: int) -> dict:
+    """One TPU cell in its own interpreter: a wedged remote call can then be
+    SIGKILLed without taking the whole experiment down, and each cell starts
+    with a fresh tunnel connection."""
+    cmd = [sys.executable, "-m", "tpu_lbfgs.bench.reference_protocol",
+           "--cell", "--problem", problem, "--d", str(d),
+           "--strategy", strategy, "--backend", backend,
+           "--budget", str(budget_s),
+           "--seeds"] + [str(s) for s in seeds]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"backend": backend, "error": "cell timeout (killed)"}
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    if r.returncode != 0 or not lines:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        return {"backend": backend,
+                "error": f"cell exited {r.returncode}: {' | '.join(tail)}"}
+    return json.loads(lines[-1])
+
+
+def _cell_main(argv=None) -> int:
+    """Subprocess entrypoint: run one cell, print it as one JSON line."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", action="store_true")
+    ap.add_argument("--problem", required=True)
+    ap.add_argument("--d", type=int, required=True)
+    ap.add_argument("--strategy", required=True)
+    ap.add_argument("--backend", required=True,
+                    choices=["tpu-f64", "tpu-f32", "tpu-norescue", "cpu"])
+    ap.add_argument("--budget", type=float, default=600.0)
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=list(REFERENCE_SEEDS))
+    args = ap.parse_args(argv)
+    if args.backend == "cpu":
+        cell = run_cpu_cell(args.problem, args.d, args.strategy,
+                            tuple(args.seeds), budget_s=args.budget)
+    else:
+        cell = run_tpu_cell(
+            args.problem, args.d, args.strategy, tuple(args.seeds),
+            dtype="float64" if args.backend == "tpu-f64" else "float32",
+            budget_s=args.budget,
+            no_rescue=args.backend == "tpu-norescue")
+    print(json.dumps(cell))
+    return 0
 
 
 def _cell_line(c: dict) -> str:
@@ -301,3 +433,7 @@ def markdown_table(report: dict) -> str:
             f" {c['iters_per_s']:,} | {c['mean_final_f']:.3e} |"
             f" {status} | {c['seeds_run']}/{c['seeds_total']} |")
     return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    sys.exit(_cell_main())

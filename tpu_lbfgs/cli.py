@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--device", default="default", choices=["default", "cpu"],
                     help="cpu forces the host backend (this environment's "
                          "sitecustomize ignores JAX_PLATFORMS)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="sanitizer mode: abort with a traceback the moment "
+                         "any op produces a NaN (jax_debug_nans) — the XLA "
+                         "analogue of running the reference under "
+                         "compute-sanitizer (SURVEY.md §5: the reference has "
+                         "no sanitizer story).  Disables the jitted "
+                         "while_loop fast path; expect ~10x slowdown.")
     return ap
 
 
@@ -87,6 +94,8 @@ def main(argv=None) -> int:
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
     import numpy as np
 
