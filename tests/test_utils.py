@@ -62,10 +62,11 @@ def test_time_to_tolerance_refined_reaches_1e5():
     the f32 gradient-entry noise floor — with only a handful of f64
     iterations (superlinear local convergence from the f32 iterate)."""
     from tpu_lbfgs.bench.harness import time_to_tolerance_refined
-    from tpu_lbfgs.types import Status
 
-    r = time_to_tolerance_refined(d=2048, max_iters=30_000,
-                                  refine_iters=2_000)
-    assert r["status"] == Status.CONVERGED
-    assert r["g_norm"] <= 1e-5
-    assert r["refine_iterations"] <= 100
+    for backend in ("native", "jax"):
+        r = time_to_tolerance_refined(d=2048, max_iters=30_000,
+                                      refine_iters=2_000,
+                                      refine_backend=backend)
+        assert r["status"] == "converged", (backend, r)
+        assert r["g_norm"] <= 1e-5
+        assert r["refine_iterations"] <= 100, (backend, r)

@@ -242,7 +242,8 @@ def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
                               max_iters: int = 150_000,
                               refine_iters: int = 5_000,
                               cfg: Optional[LBFGSConfig] = None,
-                              seed: int = 42) -> dict:
+                              seed: int = 42,
+                              refine_backend: str = "native") -> dict:
     """Time to ||g|| <= tol via two-stage precision refinement — the
     BASELINE.json north-star metric (tol=1e-5 at d~1e6), which is below the
     float32 GRADIENT-ENTRY noise floor at this d (each f32 gradient entry
@@ -250,14 +251,20 @@ def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
     the norm floor around 1e-3 regardless of how the reduction is summed, so
     cfg.accurate_dots alone cannot reach 1e-5).
 
-    Stage 1 solves in f32 at full speed to coarse_tol; stage 2 warm-starts
-    f64 (XLA-emulated on TPU — slow per iteration, but superlinear local
-    convergence needs only a handful) from the f32 iterate with a fresh
-    history.  Total wall is end-to-end, both stages fenced.
+    Stage 1 solves in f32 on the accelerator at full speed to coarse_tol;
+    stage 2 warm-starts a fresh-history f64 solve from the f32 iterate —
+    superlinear local convergence needs only a handful of iterations
+    (measured: 9 at d=4096).
+
+    refine_backend="native": stage 2 runs the C++ f64 oracle ON THE HOST —
+    the production split for TPU, where f64 is XLA-emulated and (through the
+    axon remote-compile tunnel) the emulated solver's compile alone exceeds
+    the whole solve budget.  A ~10-iteration f64 tail at d=2^20 costs ~1 s
+    of host time.  refine_backend="jax": stage 2 as an f64 jit on the same
+    device (fine on CPU; avoid on axon TPU).
     """
     import jax
 
-    jax.config.update("jax_enable_x64", True)
     cfg = cfg or LBFGSConfig(line_search="backtracking",
                              direction="compact_incremental",
                              ls_eval="polynomial", fidelity="fixed",
@@ -273,25 +280,50 @@ def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
         st = init_state(vg, x0, cfg32.m, cfg32.history_dtype)
         return solve_from_state(cfg32, p.f, vg, st, dir_poly)
 
-    @jax.jit
-    def refine(x32):
-        st = init_state(vg, x32.astype(jnp.float64), cfg64.m, None)
-        return solve_from_state(cfg64, p.f, vg, st, dir_poly)
+    if refine_backend == "native":
+        from ..native import native_lbfgs
+
+        # fidelity="fixed" has no meaning for the oracle's backtracking
+        # beyond the broke-search rule; the refine never hits it.
+        def refine_run(x32):
+            x64 = np.asarray(jax.device_get(x32), np.float64)
+            return native_lbfgs(problem, x64, cfg64)
+
+        def refine_stats(r):
+            return (int(r["iterations"]), r["status"], float(r["g_norm"]),
+                    float(r["f"]))
+    else:
+        jax.config.update("jax_enable_x64", True)
+
+        @jax.jit
+        def refine(x32):
+            st = init_state(vg, x32.astype(jnp.float64), cfg64.m, None)
+            return solve_from_state(cfg64, p.f, vg, st, dir_poly)
+
+        def refine_run(x32):
+            out = refine(x32)
+            float(out.f)                    # fence
+            return out
+
+        def refine_stats(out):
+            from ..types import Status
+
+            return (int(out.k), Status.NAMES[int(out.status)],
+                    float(out.g_norm), float(out.f))
 
     x0 = _x0(problem, d, seed, jnp.float32)
-    out1 = coarse(x0)            # warmup/compile both stages
-    out2 = refine(out1.x)
-    float(out2.f)
+    out1 = coarse(x0)                       # warmup/compile stage 1
+    float(out1.f)
+    r2 = refine_run(out1.x)                 # warmup stage 2
     t0 = time.perf_counter()
     out1 = coarse(x0)
     float(out1.f)
     t1 = time.perf_counter()
-    out2 = refine(out1.x)
-    float(out2.f)
+    r2 = refine_run(out1.x)
     t2 = time.perf_counter()
+    k2, status, g_norm, f = refine_stats(r2)
     return {"wall_s": t2 - t0, "coarse_wall_s": t1 - t0,
-            "refine_wall_s": t2 - t1,
+            "refine_wall_s": t2 - t1, "refine_backend": refine_backend,
             "coarse_iterations": int(out1.k),
-            "refine_iterations": int(out2.k),
-            "status": int(out2.status), "g_norm": float(out2.g_norm),
-            "f": float(out2.f)}
+            "refine_iterations": k2,
+            "status": status, "g_norm": g_norm, "f": f}
