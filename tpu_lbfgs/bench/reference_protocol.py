@@ -315,6 +315,27 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                              "cell_wall_s": round(time.perf_counter() - t0, 1)})
                 cells.append(cell)
                 print(_cell_line(cell), flush=True)
+    # Fig.-1 analogue: per-(d, strategy) TPU/CPU per-ITERATION rate ratio
+    # (wall ratios would confound tolerance differences — the f32 cells stop
+    # at the GPU tol 1e-1, the oracle at 1e-8; per-iteration work is the
+    # comparable unit, as the fixed-iteration harness docstring argues).
+    speedups = []
+    for d in dims:
+        for label, _ in TABLE_I_STRATEGIES:
+            tpu_cell = next((c for c in cells if c["d"] == d
+                             and c["strategy"] == label
+                             and c.get("backend") == "tpu-f32-norescue"
+                             and c.get("iters_per_s")), None)
+            cpu_cell = next((c for c in cells if c["d"] == d
+                             and c["strategy"] == label
+                             and c.get("backend") == "cpu-native-f64"
+                             and c.get("iters_per_s")), None)
+            if tpu_cell and cpu_cell:
+                speedups.append({
+                    "d": d, "strategy": label,
+                    "tpu_per_iter_speedup": round(
+                        tpu_cell["iters_per_s"] / cpu_cell["iters_per_s"], 1),
+                })
     report = {
         "problem": problem,
         "protocol": {
@@ -338,6 +359,7 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                               "through the axon tunnel",
         },
         "cells": cells,
+        "per_iteration_speedups": speedups,
     }
     if out:
         with open(out, "w") as fh:
