@@ -105,3 +105,32 @@ def test_full_solve_with_pallas():
     assert int(r_p.status) == Status.CONVERGED
     assert abs(int(r_p.iterations) - int(r_j.iterations)) <= 1
     assert abs(float(r_p.f) - float(r_j.f)) < 1e-2
+
+
+@pytest.mark.parametrize("br", [64, 256, 2048])
+def test_block_rows_override_preserves_semantics(br, monkeypatch):
+    """BLOCK_ROWS is env-tunable for the giant-d sweeps
+    (TPU_LBFGS_BLOCK_ROWS); any legal value must leave kernel semantics
+    unchanged (padding + index masking handle non-multiples)."""
+    from tpu_lbfgs.kernels import pallas_ops
+
+    monkeypatch.setattr(pallas_ops, "BLOCK_ROWS", br)
+    d = 128 * 97          # not a multiple of any swept block size
+    rng = np.random.default_rng(br)
+    x, dv, g, gn = (jnp.asarray(rng.normal(size=d), jnp.float32)
+                    for _ in range(4))
+    alpha = jnp.float32(0.41)
+    outs_p = iteration_tail(x, dv, alpha, g, gn, use_pallas=True)
+    outs_j = iteration_tail(x, dv, alpha, g, gn, use_pallas=False)
+    for name, a, b in zip(("x_new", "s", "y", "sy", "yy", "gg"),
+                          outs_p, outs_j):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.max(np.abs(b)) + 1e-30
+        assert np.max(np.abs(a - b)) / scale < 1e-4, (name, br)
+    vg_p = fused_value_and_grad("rosenbrock", use_pallas=True)
+    vg_j = fused_value_and_grad("rosenbrock", use_pallas=False)
+    fp, gp = vg_p(x)
+    fj, gj = vg_j(x)
+    assert abs(float(fp) - float(fj)) / (abs(float(fj)) + 1e-30) < 1e-4
+    assert float(jnp.max(jnp.abs(gp - gj))) / \
+        (float(jnp.max(jnp.abs(gj))) + 1e-30) < 1e-4

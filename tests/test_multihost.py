@@ -2,6 +2,7 @@
 single host — initialize() error-path semantics, idempotency, and ICI-aware
 global mesh construction on the 8-virtual-device backend."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -77,3 +78,13 @@ def test_global_mesh_drives_sharded_solve():
 def test_is_coordinator_and_process_count():
     assert multihost.is_coordinator() is True
     assert multihost.process_count() == 1
+
+
+def test_initialize_benign_after_backend_is_live():
+    """Regression (r2): initialize() with no coordinator must stay a no-op
+    even after JAX computations have initialised the backend — jax raises
+    'must be called before any JAX calls' there, which is benign for the
+    single-process case (nothing to coordinate)."""
+    jnp.zeros((8,)).sum().block_until_ready()   # force backend init
+    multihost.initialize()
+    multihost.initialize()

@@ -43,7 +43,13 @@ def initialize(coordinator_address: Optional[str] = None,
             benign = ("coordinator_address" in msg or "auto" in msg
                       or "unable to detect" in msg
                       or "already initialized" in msg
-                      or "must be defined" in msg)
+                      or "must be defined" in msg
+                      # Backend already live (some computation ran first):
+                      # nothing to coordinate on a single host — a no-op.
+                      # With an EXPLICIT coordinator this same error is real
+                      # (too-late initialize) and takes the propagating
+                      # branch below instead.
+                      or "before any jax calls" in msg)
             if not benign:
                 raise
         return
