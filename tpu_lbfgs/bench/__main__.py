@@ -51,7 +51,30 @@ def main(argv=None) -> int:
                     help="include the emulated-f64 sequential-config TPU "
                          "cells (compiles are tunnel-hostile; see "
                          "reference_protocol.py docstring)")
+    ap.add_argument("--scaling", action="store_true",
+                    help="strong-scaling sweep over shard counts on the "
+                         "available devices (BASELINE.md: efficiency at "
+                         "1 chip / N devices; on this single-chip host run "
+                         "under the 8-virtual-device CPU mesh to validate "
+                         "the program shape)")
     args = ap.parse_args(argv)
+
+    if args.scaling:
+        import jax
+
+        from .scaling import scaling_sweep
+
+        rows = scaling_sweep(d=args.d, iters=min(args.iters, 50))
+        for r in rows:
+            print(f"n={r['n_devices']:3d}  {r['iters_per_s']:9.1f} it/s  "
+                  f"speedup {r['speedup']:.2f}  eff {r['efficiency']:.2f}")
+        out = args.out if args.out != "bench_results.json" \
+            else "scaling_results.json"
+        with open(out, "w") as fh:
+            json.dump({"backend": jax.default_backend(), "d": args.d,
+                       "rows": rows}, fh, indent=1)
+        print(f"wrote {out}")
+        return 0
 
     if args.reference_protocol:
         from .reference_protocol import run_protocol
