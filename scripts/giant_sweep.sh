@@ -26,3 +26,10 @@ run python -m tpu_lbfgs.bench.giant --d "$D" --iters "$ITERS" --with-matvec
 run python -m tpu_lbfgs.bench.giant --d "$D" --iters "$ITERS" --history-dtype bfloat16
 run python -m tpu_lbfgs.bench.giant --d "$D" --iters "$ITERS" --donate
 run python -m tpu_lbfgs.bench.giant --d "$D" --iters "$ITERS" --no-pallas
+
+# BASELINE.json literal metrics: the TWO-LOOP recursion roofline at giant d,
+# and the m=20-history config (fits at 1e8-class only with bf16 history).
+run python -m tpu_lbfgs.bench.giant --d "$D" --iters "$ITERS" --direction two_loop
+run python -m tpu_lbfgs.bench.giant --d 100663296 --m 20 --history-dtype bfloat16 \
+    --iters 50 --donate
+run python -m tpu_lbfgs.bench.giant --d 100663296 --m 5 --iters 50 --donate
