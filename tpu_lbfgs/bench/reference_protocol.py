@@ -187,13 +187,13 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
     walls, iters, fs, gnorms, statuses = [], [], [], [], []
     compile_s = None
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
-    t_start = time.perf_counter()
     for seed in seeds:
         # Same budget discipline as the CPU cells: stop adding seeds when the
         # next run (projected from the slowest so far) would blow the budget
         # (f64 is XLA-emulated on TPU; a 15k-iteration d=2^20 run can cost
-        # minutes per seed).  seeds_run records the measured subset.
-        if walls and (time.perf_counter() - t_start + max(walls)) > budget_s:
+        # minutes per seed).  Budgeted on MEASURED solve walls only — compile
+        # time is excluded (a slow tunnel compile must not cost seeds).
+        if walls and (sum(walls) + max(walls)) > budget_s:
             break
         x0 = jnp.asarray(_x0_np(d, seed), jdtype)
         t0 = time.perf_counter()
