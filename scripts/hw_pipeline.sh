@@ -27,9 +27,11 @@ for i in $(seq 1 12); do
 done
 
 # Phase 1: reference protocol (TPU cells subprocess-isolated internally).
+# Grid is now 4 dims (incl. the paper's d=20,000) x 4 strategies x
+# {tpu-f32, tpu-norescue, cpu} + the Fig.-1 f64 probe cell.
 echo "=== phase 1: reference protocol $(date) ===" >> "$LOG"
-timeout 5400 python -m tpu_lbfgs.bench --reference-protocol \
-  --cpu-budget 400 --tpu-budget 300 --cell-timeout 600 \
+timeout 10800 python -m tpu_lbfgs.bench --reference-protocol \
+  --cpu-budget 300 --tpu-budget 180 --cell-timeout 480 \
   --out reference_protocol_results.json >> "$LOG" 2>&1
 echo "protocol exit=$? $(date)" >> "$LOG"
 

@@ -49,7 +49,9 @@ TABLE_I_STRATEGIES = (
     ("Wolfe Interpolation", "wolfe_interpolation"),
 )
 
-DIMS = (10_000, 100_000, 1 << 20)
+# d=20,000 included because the paper explicitly claims "similar trend
+# continues at 20,000" (cuda_lbfgs.pdf §IV-A) — the published-shape grid.
+DIMS = (10_000, 20_000, 100_000, 1 << 20)
 
 def _status_name(s) -> str:
     from ..types import Status
@@ -336,6 +338,24 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                     "tpu_per_iter_speedup": round(
                         tpu_cell["iters_per_s"] / cpu_cell["iters_per_s"], 1),
                 })
+    # Fig.-1 f64 evidence cell (VERDICT r2 item 6): one attempt of the
+    # XLA-emulated-f64 sequential config on TPU at the CHEAPEST shape
+    # (quadratic d=1e4, 1 seed, generous alarm).  Either the measured cell or
+    # the recorded wait lands in the report — a number or a documented
+    # measurement, never just a docstring.
+    f64_probe = None
+    if tpu:
+        t0 = time.perf_counter()
+        f64_probe = _cell_subprocess("quadratic", 10_000, "backtracking",
+                                     "tpu-f64", seeds[:1], tpu_budget_s,
+                                     max(cell_timeout_s * 2, 1800))
+        f64_probe.update({"d": 10_000, "strategy": "Armijo Backtracking",
+                          "strategy_key": "backtracking",
+                          "note": "Fig.-1 f64 probe: emulated-f64 sequential "
+                                  "config, cheapest shape, 1 seed",
+                          "cell_wall_s": round(time.perf_counter() - t0, 1)})
+        print(_cell_line(f64_probe), flush=True)
+
     report = {
         "problem": problem,
         "protocol": {
@@ -359,6 +379,7 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                               "through the axon tunnel",
         },
         "cells": cells,
+        "f64_probe": f64_probe,
         "per_iteration_speedups": speedups,
     }
     if out:
@@ -384,7 +405,8 @@ def _cell_subprocess(problem: str, d: int, strategy: str, backend: str,
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return {"backend": backend, "error": "cell timeout (killed)"}
+        return {"backend": backend, "error": "cell timeout (killed)",
+                "waited_s": timeout_s}
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
     if r.returncode != 0 or not lines:
         tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
