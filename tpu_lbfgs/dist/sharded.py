@@ -158,24 +158,53 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
                           cfg: LBFGSConfig = LBFGSConfig(),
                           mesh: Optional[Mesh] = None, grad=None,
                           value_and_grad=None, batch_axis: str = "b",
-                          d_axis: str = "d") -> SolveResult:
+                          d_axis: str = "d", dir_poly=None,
+                          problem: Optional[str] = None) -> SolveResult:
     """Batched AND sharded: instance batch split over the DP-like mesh axis,
     each instance's vector split over the d axis.  This is the full 2-D
-    parallelism story (dp x tp analogue) for the optimizer."""
+    parallelism story (dp x tp analogue) for the optimizer.
+
+    ``problem``: as in sharded_minimize — with ``cfg.use_pallas``, an f32
+    batch, and a suite problem name, the per-shard fused Pallas kernels run
+    inside shard_map, batched over the instance axis via
+    ``jax.vmap(..., spmd_axis_name=batch_axis)`` (the vmapped shard_map's
+    in/out specs gain the batch axis; the pallas_calls batch into an extra
+    grid dimension).  Otherwise the auto-partitioned jnp path runs, with a
+    warning when Pallas was requested but cannot compose.
+    """
     if mesh is None:
         raise ValueError("sharded_vmap_minimize requires an explicit 2-D mesh "
                          "(make_mesh_2d)")
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     n_shards = int(mesh.shape[d_axis])
-    if n_shards > 1 and cfg.use_pallas:
+    x0_batch = jnp.asarray(x0_batch)
+    fused_tail = None
+    pallas_shard = (cfg.use_pallas and n_shards > 1
+                    and problem in SHARDED_PALLAS_PROBLEMS
+                    and x0_batch.dtype == jnp.float32)
+    if n_shards > 1 and cfg.use_pallas and not pallas_shard:
         warnings.warn(
-            "sharded_vmap_minimize: the Pallas kernels do not compose with "
-            "batched sharding yet; falling back to the auto-partitioned jnp "
-            "path.", stacklevel=2)
+            "sharded_vmap_minimize: use_pallas=True has no shard-composable "
+            "kernels for this objective (pass problem=<suite name> with f32 "
+            "x0 to enable the shard_map Pallas path); falling back to the "
+            "auto-partitioned jnp path.", stacklevel=2)
         cfg = cfg.replace(use_pallas=False)
-    f, vg, x0_batch, d_orig = _pad_for_mesh(
-        f, vg, jnp.asarray(x0_batch), n_shards)
+
+    if pallas_shard:
+        f, vg, x0_batch, d_orig = _pad_for_mesh(
+            f, vg, x0_batch, n_shards, mult=shard_alignment(n_shards))
+        vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
+        fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
+                                         with_matvec=False)
+        cfg = cfg.replace(use_pallas=False)
+    else:
+        f, vg, x0_batch, d_orig = _pad_for_mesh(f, vg, x0_batch, n_shards)
+
+    # spmd_axis_name: shards every vmapped shard_map's batch dimension on the
+    # mesh's batch axis (a no-op for the plain-jnp path, whose partitioning
+    # the out_shardings already pin).
+    vmap_kw = {"spmd_axis_name": batch_axis} if pallas_shard else {}
 
     st_sh = state_shardings(mesh, d_axis, batch_axis=batch_axis)
     x_sh = NamedSharding(mesh, P(batch_axis, d_axis))
@@ -184,15 +213,16 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
 
     @partial(jax.jit, out_shardings=st_sh)
     def make_states(x0s):
-        return jax.vmap(lambda x: init_state(vg, x, cfg.m, cfg.history_dtype))(x0s)
+        return jax.vmap(lambda x: init_state(vg, x, cfg.m, cfg.history_dtype),
+                        **vmap_kw)(x0s)
 
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(states):
         def one(state):
-            out = solve_from_state(cfg, f, vg, state)
+            out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail)
             return _state_to_result(out, None)
 
-        return jax.vmap(one)(states)
+        return jax.vmap(one, **vmap_kw)(states)
 
     res = run(make_states(x0_batch))
     if res.x.shape[-1] != d_orig:
