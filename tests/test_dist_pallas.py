@@ -186,6 +186,23 @@ def test_sharded_minimize_pallas_unaligned_dim(mesh):
     assert r_sh.x.shape[-1] == d
 
 
+@pytest.mark.parametrize("problem", ["rosenbrock", "coupled_quadratic",
+                                     "quadratic"])
+def test_pallas_sharded_matches_shardmap_vg_reference(mesh, problem):
+    """dist.shardmap_vg is the readable jnp reference for the halo/ownership
+    semantics the Pallas kernels implement; the two must agree."""
+    from tpu_lbfgs.dist.shardmap_vg import shardmap_value_and_grad
+
+    x = jnp.asarray(
+        np.random.default_rng(28).uniform(-2, 2, D_ALIGNED), jnp.float32)
+    xs = _sharded(mesh, x, "d")
+    f_ref, g_ref = jax.jit(shardmap_value_and_grad(problem, mesh))(xs)
+    f_pl, g_pl = jax.jit(shardmap_fused_vg(problem, mesh, D_ALIGNED))(xs)
+    np.testing.assert_allclose(float(f_pl), float(f_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_vmap_minimize_pallas_path_equivalence():
     """2-D (b, d) mesh: the batched+sharded Pallas stack (vmap with
     spmd_axis_name over the shard_map kernels) matches the unsharded Pallas

@@ -57,10 +57,19 @@ def main(argv=None) -> int:
                          "1 chip / N devices; on this single-chip host run "
                          "under the 8-virtual-device CPU mesh to validate "
                          "the program shape)")
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="run the scaling sweep on N virtual CPU devices "
+                         "instead of the real backend (the single-chip host "
+                         "cannot shard; the CPU mesh measures the same SPMD "
+                         "program's scaling shape)")
     args = ap.parse_args(argv)
 
     if args.scaling:
         import jax
+
+        if args.cpu_mesh:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
 
         from .scaling import scaling_sweep
 

@@ -1,10 +1,13 @@
 """Scaling-efficiency measurement: iterations/s at 1 shard vs N shards.
 
 BASELINE.md north star: "scaling efficiency reported at 1 chip / 1 host /
-N >= 2 hosts".  On real hardware this runs over the pod mesh; in this
-environment it is exercised on the 8-virtual-device CPU mesh (conftest) and
-via the driver's dryrun — the harness and the sharded program are identical
-either way, only the devices differ.
+N >= 2 hosts".  On real hardware this runs over the pod mesh with the FAST
+sharded stack (the per-shard fused Pallas kernels inside shard_map —
+dist.pallas_sharded); in this environment it is exercised on the
+8-virtual-device CPU mesh, where Pallas only has interpret mode (pure Python,
+useless for timing), so the CPU sweep measures the jnp-shard path — the same
+SPMD program shape and collectives, different kernel backend.  The report
+records which stack ran (``stack`` per row).
 
 Efficiency definition: eff(N) = T(1) / T(N) / N for a FIXED global problem
 size d (strong scaling) — perfect overlap of the N-way-split memory streams
@@ -13,6 +16,7 @@ with the psum latency gives eff = 1.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -22,30 +26,71 @@ import numpy as np
 from ..config import LBFGSConfig
 from ..core.solver import init_state, make_value_and_grad, solve_from_state
 from ..dist.mesh import make_mesh, state_shardings
+from ..dist.pallas_sharded import (
+    SHARDED_PALLAS_PROBLEMS,
+    shard_alignment,
+    shardmap_fused_tail,
+    shardmap_fused_vg,
+)
+from ..dist.sharded import _pad_for_mesh
 from ..problems import get_problem
 
 
 def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
                   n_devices: int, dtype=jnp.float32, repeats: int = 3,
-                  seed: int = 42) -> dict:
-    """Fixed-iteration throughput with the vector sharded over n_devices."""
+                  seed: int = 42,
+                  use_pallas: Optional[bool] = None) -> dict:
+    """Fixed-iteration throughput with the vector sharded over n_devices.
+
+    use_pallas=None selects the fast stack automatically: the shard-map
+    Pallas kernels on a real TPU backend, the jnp-shard path elsewhere
+    (interpret-mode Pallas is not a benchmark).  n_devices == 1 runs the
+    same stacks unsharded (the scaling baseline).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and dtype == jnp.float32
+                      and problem in SHARDED_PALLAS_PROBLEMS)
     devices = jax.devices()[:n_devices]
     mesh = make_mesh(devices)
-    cfg = cfg.replace(max_iters=iters, tol=0.0)
+    cfg = cfg.replace(max_iters=iters, tol=0.0,
+                      use_pallas=use_pallas and n_devices == 1)
     p = get_problem(problem)
     vg = make_value_and_grad(p.f, p.grad)
     dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None
 
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.uniform(-2, 2, d), dtype)
+    fused_tail = None
+    if use_pallas and n_devices > 1:
+        mult = shard_alignment(n_devices)
+        f, vg, x0, d_orig = _pad_for_mesh(p.f, vg, x0, n_devices, mult=mult)
+        vg = shardmap_fused_vg(problem, mesh, d_orig)
+        fused_tail = shardmap_fused_tail(problem, mesh, d_orig,
+                                         with_matvec=False)
+        stack = "pallas-shard"
+    else:
+        f, vg, x0, d_orig = _pad_for_mesh(p.f, vg, x0, n_devices)
+        if use_pallas:                       # n_devices == 1: unsharded fast stack
+            from ..problems.suite import fused_tail_for, fused_value_and_grad
+
+            vg = fused_value_and_grad(problem, use_pallas=True)
+            fused_tail = fused_tail_for(problem, with_matvec=False,
+                                        use_pallas=True)
+            stack = "pallas-unsharded"
+        else:
+            stack = "jnp-shard"
+
     st_sh = state_shardings(mesh)
     x_sh = NamedSharding(mesh, P("d"))
-    rng = np.random.default_rng(seed)
-    x0 = jax.device_put(jnp.asarray(rng.uniform(-2, 2, d), dtype), x_sh)
+    x0 = jax.device_put(x0, x_sh)
 
     make = jax.jit(lambda x: init_state(vg, x, cfg.m, cfg.history_dtype),
                    out_shardings=st_sh)
-    run = jax.jit(lambda s: solve_from_state(cfg, p.f, vg, s, dir_poly),
+    run = jax.jit(partial(solve_from_state, cfg, f, vg,
+                          dir_poly=dir_poly, fused_tail=fused_tail),
                   in_shardings=(st_sh,), out_shardings=st_sh)
 
     state = make(x0)
@@ -58,22 +103,26 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
         float(out.f)
         best = min(best, time.perf_counter() - t0)
     return {"n_devices": n_devices, "iters_per_s": iters / best,
-            "wall_s": best, "final_f": float(out.f)}
+            "wall_s": best, "final_f": float(out.f), "stack": stack}
 
 
 def scaling_sweep(problem: str = "rosenbrock", d: int = 1 << 22,
                   iters: int = 50, cfg: Optional[LBFGSConfig] = None,
                   device_counts: Optional[Sequence[int]] = None,
-                  dtype=jnp.float32) -> list[dict]:
+                  dtype=jnp.float32,
+                  use_pallas: Optional[bool] = None) -> list[dict]:
     """Strong-scaling sweep over shard counts; adds efficiency vs 1 device."""
-    cfg = cfg or LBFGSConfig(line_search="backtracking", direction="compact")
+    cfg = cfg or LBFGSConfig(line_search="backtracking",
+                             direction="compact_incremental",
+                             ls_eval="polynomial")
     n = len(jax.devices())
     if device_counts is None:
         device_counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n]
     rows = []
     base = None
     for c in device_counts:
-        r = bench_sharded(problem, d, iters, cfg, c, dtype)
+        r = bench_sharded(problem, d, iters, cfg, c, dtype,
+                          use_pallas=use_pallas)
         if base is None:
             base = r["iters_per_s"]
         r["efficiency"] = r["iters_per_s"] / (base * c)

@@ -14,6 +14,11 @@ Chain objectives (rosenbrock, coupled_quadratic) assign term i to the shard
 owning element i; the shard's last term needs the next shard's first element
 (forward halo), and the gradient's first element needs the previous shard's
 last element (backward halo).
+
+ROLE: this module is the readable jnp REFERENCE for the halo/ownership
+semantics that ``dist.pallas_sharded`` implements in kernels — production
+sharded solves run pallas_sharded; tests/test_dist_pallas.py cross-asserts
+the two agree (``test_pallas_sharded_matches_shardmap_vg_reference``).
 """
 from __future__ import annotations
 
