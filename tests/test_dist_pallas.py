@@ -234,6 +234,33 @@ def test_sharded_vmap_minimize_pallas_path_equivalence():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_vmap_minimize_speculative_phi_batch():
+    """Speculative backtracking on the 2-D mesh: the fused multi-phi kernel
+    runs per shard, batched over the b axis, matching the unsharded solve."""
+    from tpu_lbfgs.dist import make_mesh_2d, sharded_vmap_minimize
+    from tpu_lbfgs.kernels import make_multi_phi
+    from tpu_lbfgs.problems.suite import fused_tail_for
+
+    p = get_problem("rosenbrock")
+    mesh2 = make_mesh_2d(batch_size=2)
+    rng = np.random.default_rng(29)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (4, D_ALIGNED)), jnp.float32)
+    cfg = LBFGSConfig(line_search="backtracking_speculative",
+                      ls_eval="direct", direction="compact_incremental",
+                      max_iters=15, tol=0.0, use_pallas=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r_sh = sharded_vmap_minimize(p.f, x0s, cfg, mesh=mesh2, grad=p.grad,
+                                     problem="rosenbrock")
+    r0 = minimize(p.f, x0s[0], cfg, grad=p.grad,
+                  fused_tail=fused_tail_for("rosenbrock", with_matvec=False,
+                                            use_pallas=True),
+                  phi_batch=make_multi_phi("rosenbrock", p.f,
+                                           use_pallas=True))
+    assert int(r_sh.iterations[0]) == int(r0.iterations)
+    np.testing.assert_allclose(float(r_sh.f[0]), float(r0.f), rtol=5e-4)
+
+
 def test_sharded_vmap_minimize_nonsuite_pallas_warns():
     """No problem name -> the 2-D path must warn before dropping Pallas."""
     from tpu_lbfgs.dist import make_mesh_2d, sharded_vmap_minimize

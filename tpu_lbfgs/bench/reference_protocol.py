@@ -321,17 +321,25 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # (wall ratios would confound tolerance differences — the f32 cells stop
     # at the GPU tol 1e-1, the oracle at 1e-8; per-iteration work is the
     # comparable unit, as the fixed-iteration harness docstring argues).
+    # Rate ratios are only meaningful for cells that actually ITERATED: a
+    # line_search_failed-at-iteration-1 cell has a truthy iters_per_s
+    # (1 iter / dispatch wall) that would produce a bogus ratio.
+    def _ran(c):
+        return (c.get("iters_per_s") and c.get("mean_iterations", 0) > 1
+                and any(s in ("converged", "max_iters")
+                        for s in c.get("statuses", ())))
+
     speedups = []
     for d in dims:
         for label, _ in TABLE_I_STRATEGIES:
             tpu_cell = next((c for c in cells if c["d"] == d
                              and c["strategy"] == label
                              and c.get("backend") == "tpu-f32-norescue"
-                             and c.get("iters_per_s")), None)
+                             and _ran(c)), None)
             cpu_cell = next((c for c in cells if c["d"] == d
                              and c["strategy"] == label
                              and c.get("backend") == "cpu-native-f64"
-                             and c.get("iters_per_s")), None)
+                             and _ran(c)), None)
             if tpu_cell and cpu_cell:
                 speedups.append({
                     "d": d, "strategy": label,

@@ -191,12 +191,16 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
             "auto-partitioned jnp path.", stacklevel=2)
         cfg = cfg.replace(use_pallas=False)
 
+    phi_batch = None
     if pallas_shard:
         f, vg, x0_batch, d_orig = _pad_for_mesh(
             f, vg, x0_batch, n_shards, mult=shard_alignment(n_shards))
         vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
                                          with_matvec=False)
+        if cfg.line_search == "backtracking_speculative" \
+                and cfg.ls_eval == "direct":
+            phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
         cfg = cfg.replace(use_pallas=False)
     else:
         f, vg, x0_batch, d_orig = _pad_for_mesh(f, vg, x0_batch, n_shards)
@@ -219,7 +223,8 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(states):
         def one(state):
-            out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail)
+            out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
+                                   phi_batch)
             return _state_to_result(out, None)
 
         return jax.vmap(one, **vmap_kw)(states)
