@@ -160,3 +160,30 @@ def test_final_optimum_matches_scipy():
     assert int(r.status) == Status.CONVERGED
     np.testing.assert_allclose(np.asarray(r.x), sp.x, atol=1e-6)
     assert abs(float(r.f) - sp.fun) < 1e-10
+
+
+def test_history_dtype_auto_rule():
+    """"auto" = f32 history while the (2, m, d) ring is VMEM-resident, bf16
+    once it must stream (the giant-d sweep's measured trade); f64 inputs
+    always keep full precision (parity paths)."""
+    from tpu_lbfgs.core.solver import init_state, make_value_and_grad
+    from tpu_lbfgs.utils.roofline import VMEM_RESIDENT_BYTES
+
+    p = get_problem("quadratic")
+    vg = make_value_and_grad(p.f, p.grad)
+    m = 10
+    # resident: 2*10*4096*4 B = 320 KB << limit -> keeps f32
+    st = init_state(vg, jnp.zeros(4096, jnp.float32), m, "auto")
+    assert st.s_hist.dtype == jnp.float32
+    # streaming: d chosen so 2*m*d*4 exceeds the residency budget -> bf16
+    d_big = int(VMEM_RESIDENT_BYTES // (2 * m * 4)) + 128
+    d_big = ((d_big + 127) // 128) * 128
+    st = init_state(vg, jnp.zeros(d_big, jnp.float32), m, "auto")
+    assert st.s_hist.dtype == jnp.bfloat16
+    # f64 input: full-precision history regardless of size
+    st = init_state(vg, jnp.zeros(d_big, jnp.float64), m, "auto")
+    assert st.s_hist.dtype == st.x.dtype
+    # config validation accepts "auto", rejects junk
+    LBFGSConfig(history_dtype="auto")
+    with pytest.raises(ValueError):
+        LBFGSConfig(history_dtype="float16")

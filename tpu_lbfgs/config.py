@@ -162,7 +162,11 @@ class LBFGSConfig:
     # direction itself becomes slightly approximate (quasi-Newton methods
     # tolerate inexact H well — expect a few % more iterations, large
     # wall-clock win at big d).  None = same dtype as x.
-    history_dtype: Optional[str] = None  # None | "bfloat16"
+    # "auto" = f32 while the (2, m, d) ring is VMEM-resident (bf16 only adds
+    # convert work there), bfloat16 once it streams from HBM (measured 1.42x
+    # at d=2^26 — giant_sweep_results.jsonl); resolved per-solve in
+    # init_state.
+    history_dtype: Optional[str] = None  # None | "bfloat16" | "auto"
     # Compensated (Neumaier) reductions for the curvature-pair scalars
     # (s.y, y.y, ||g||^2) — recovers f32 bits lost to partial-sum rounding at
     # very large d without f64 arithmetic (utils/accurate.py).  jnp tail path
@@ -192,6 +196,10 @@ class LBFGSConfig:
                 "'polynomial'")
         if self.m <= 0:
             raise ValueError("history depth m must be positive")
+        if self.history_dtype not in (None, "bfloat16", "float32", "auto"):
+            raise ValueError(
+                f"unknown history_dtype {self.history_dtype!r}; expected "
+                "None, 'bfloat16', 'float32', or 'auto'")
 
     def replace(self, **kw) -> "LBFGSConfig":
         return dataclasses.replace(self, **kw)

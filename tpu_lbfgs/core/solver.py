@@ -51,9 +51,23 @@ def init_state(vg: ValGradFn, x0: Array, m: int,
                history_dtype=None) -> LBFGSState:
     """Build the initial solver state; evaluates f and grad once at x0
     (lbfgs.cpp:29-30).  history_dtype optionally down-casts the (m, d) ring
-    storage (cfg.history_dtype, e.g. "bfloat16")."""
+    storage (cfg.history_dtype, e.g. "bfloat16").
+
+    history_dtype="auto" applies the measured size rule (PERFORMANCE.md
+    "VMEM residency" + the giant-d sweep): f32 history while the whole
+    (2, m, d) ring fits VMEM-resident (reads are then free and bf16 only
+    adds convert work — measured SLOWER at d=2^20), bfloat16 once it
+    must stream from HBM (measured 1.42x faster at d=2^26).  f64 inputs
+    always keep full-precision history (parity paths)."""
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
+    if history_dtype == "auto":
+        from ..utils.roofline import VMEM_RESIDENT_BYTES
+
+        resident = 2 * m * x0.shape[-1] * dtype.itemsize \
+            < VMEM_RESIDENT_BYTES
+        history_dtype = "bfloat16" \
+            if (not resident and dtype == jnp.float32) else None
     hdtype = jnp.dtype(history_dtype) if history_dtype else dtype
     d = x0.shape[-1]
     R, L = hist_block(d)

@@ -99,9 +99,14 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     if fused_tail is None:
         fused_tail = cfg.use_pallas
     hw = 1.0
-    if cfg.history_dtype is not None:
+    hd = cfg.history_dtype
+    if hd == "auto":
+        # Same rule init_state applies: f32 while resident, bf16 streaming.
+        hd = None if (2 * m * d * dtype_bytes < VMEM_RESIDENT_BYTES) \
+            else "bfloat16"
+    if hd is not None:
         import jax.numpy as jnp
-        hw = jnp.dtype(cfg.history_dtype).itemsize / dtype_bytes
+        hw = jnp.dtype(hd).itemsize / dtype_bytes
     if hist_resident is None:
         hist_resident = 2 * m * d * dtype_bytes * hw < VMEM_RESIDENT_BYTES
     if hist_resident:
