@@ -112,3 +112,24 @@ def test_norescue_recovers_where_parallel_quirk_overflows():
                          use_pallas=False, no_rescue=True)
     assert clean["statuses"] == ["converged"]
     assert clean["max_final_g_norm"] <= 1e-1
+
+
+def test_quick_grid_has_no_f64_probe_and_speedups_skip_failed_cells(tmp_path):
+    """(a) The Fig.-1 f64 probe is subprocess-only (isolate=False runs, i.e.
+    tests, must not spawn real-TPU interpreters); (b) the per-iteration
+    speedup summary excludes cells that never iterated — a
+    line_search_failed-at-iteration-1 cell has a truthy iters_per_s that
+    round-2 turned into bogus 0.0x rows."""
+    report = run_protocol(problem="quadratic", dims=(256,), seeds=(42,),
+                          cpu=True, tpu=True, cpu_budget_s=60.0,
+                          out=str(tmp_path / "r.json"), quick=True,
+                          isolate=False)
+    assert report["f64_probe"] is None
+    for s in report["per_iteration_speedups"]:
+        # every summarized pair comes from cells that really iterated
+        t = next(c for c in report["cells"]
+                 if c["d"] == s["d"] and c["strategy"] == s["strategy"]
+                 and c["backend"] == "tpu-f32-norescue")
+        assert t["mean_iterations"] > 1
+        # (the ratio's magnitude is dispatch-dominated at d=256 — only the
+        # provenance matters here)

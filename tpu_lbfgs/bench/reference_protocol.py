@@ -352,7 +352,8 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # the recorded wait lands in the report — a number or a documented
     # measurement, never just a docstring.
     f64_probe = None
-    if tpu:
+    if tpu and isolate:   # subprocess-only: never spawned from CPU-pinned
+        #                   in-process runs (tests use isolate=False)
         t0 = time.perf_counter()
         f64_probe = _cell_subprocess("quadratic", 10_000, "backtracking",
                                      "tpu-f64", seeds[:1], tpu_budget_s,
