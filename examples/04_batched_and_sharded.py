@@ -17,7 +17,12 @@ import numpy as np
 
 import tpu_lbfgs as tl
 from tpu_lbfgs.batch import vmap_minimize
-from tpu_lbfgs.dist import make_mesh, sharded_minimize
+from tpu_lbfgs.dist import (
+    make_mesh,
+    make_mesh_2d,
+    sharded_minimize,
+    sharded_vmap_minimize,
+)
 
 p = tl.get_problem("rosenbrock")
 cfg = tl.LBFGSConfig(line_search="backtracking",
@@ -39,3 +44,19 @@ res = sharded_minimize(p.f, big, cfg, mesh=mesh, grad=p.grad)
 print(f"sharded over {len(mesh.devices.ravel())} device(s): "
       f"{tl.Status.NAMES[int(res.status)]} in {int(res.iterations)} iters, "
       f"||g|| = {float(res.g_norm):.2e}")
+
+# --- 3. both axes at once: a 2-D (batch, d) mesh, fast Pallas stack ----------
+# Passing problem= selects the shard-composable fused kernels: per-shard
+# Pallas programs inside shard_map, batched over the mesh's b axis.
+n = len(jax.devices())
+if n % 2 == 0 and n > 1:
+    mesh2 = make_mesh_2d(batch_size=2)
+    cfg2 = cfg.replace(use_pallas=True, ls_eval="polynomial",
+                       max_iters=60, tol=1e-3)
+    x0s2 = jnp.asarray(
+        np.random.default_rng(1).uniform(-2, 2, (4, 1 << 14)), jnp.float32)
+    res = sharded_vmap_minimize(p.f, x0s2, cfg2, mesh=mesh2, grad=p.grad,
+                                dir_poly=p.dir_poly, problem="rosenbrock")
+    print(f"2-D mesh {dict(mesh2.shape)}: "
+          f"{int(jnp.sum(res.status == tl.Status.CONVERGED))}/4 converged, "
+          f"median iters = {int(jnp.median(res.iterations))}")
