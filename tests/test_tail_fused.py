@@ -129,3 +129,21 @@ def test_fused_tail_incremental_update_semantics():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(Y2 @ y_row), np.asarray(YY_col),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_auto_with_matvec_rule():
+    """In-kernel history matvecs exactly when the RESOLVED history streams
+    from HBM (the giant-d sweep's measured trade)."""
+    from tpu_lbfgs.problems.suite import auto_with_matvec, fused_tail_for
+    from tpu_lbfgs.utils.roofline import VMEM_RESIDENT_BYTES
+
+    m = 10
+    d_small, d_big = 1 << 20, 1 << 26
+    assert not auto_with_matvec(m, d_small)            # resident f32
+    assert auto_with_matvec(m, d_big)                  # streams
+    # an auto-selected bf16 ring can itself be resident again
+    d_mid = int(VMEM_RESIDENT_BYTES // (2 * m * 4)) + 1024   # f32 streams
+    assert auto_with_matvec(m, d_mid)
+    assert not auto_with_matvec(m, d_mid, "bfloat16")  # bf16 halves it back
+    # fused_tail_for("auto") without d falls back to the resident default
+    fused_tail_for("rosenbrock")                       # must not raise

@@ -44,9 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--history-dtype", default=None,
-                    choices=[None, "bfloat16"],
+                    choices=[None, "bfloat16", "auto"],
                     help="down-cast (m,d) history storage (halves direction "
-                         "HBM traffic; slightly approximate H)")
+                         "HBM traffic; slightly approximate H); 'auto' = "
+                         "f32 while VMEM-resident, bf16 when it streams "
+                         "(the measured residency rule)")
     ap.add_argument("--pallas", action="store_true",
                     help="enable the Pallas fused kernels (f32 only)")
     ap.add_argument("--poly-ls", action="store_true",
@@ -149,9 +151,13 @@ def main(argv=None) -> int:
             dir_poly = p.dir_poly if args.poly_ls else None
             fused_tail = phi_batch = None
             if args.pallas:
+                from .core.solver import resolve_history_dtype
                 from .problems.suite import fused_tail_for, multi_phi_for
-                fused_tail = fused_tail_for(args.problem, with_matvec=False,
-                                            use_pallas=True)
+                fused_tail = fused_tail_for(
+                    args.problem, with_matvec="auto", use_pallas=True,
+                    m=cfg.m, d=args.dim,
+                    history_dtype=resolve_history_dtype(
+                        cfg.history_dtype, cfg.m, args.dim, dtype))
                 if cfg.line_search == "backtracking_speculative" \
                         and cfg.ls_eval == "direct":
                     phi_batch = multi_phi_for(args.problem, use_pallas=True)

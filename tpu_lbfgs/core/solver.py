@@ -47,6 +47,19 @@ ObjFn = Callable[[Array], Array]
 ValGradFn = Callable[[Array], Tuple[Array, Array]]
 
 
+def resolve_history_dtype(history_dtype, m: int, d: int, dtype) -> object:
+    """Resolve history_dtype="auto" (see init_state docstring): f32 while
+    the (2, m, d) ring fits VMEM-resident, bfloat16 once it streams; f64
+    inputs always keep full precision."""
+    if history_dtype != "auto":
+        return history_dtype
+    from ..utils.roofline import VMEM_RESIDENT_BYTES
+
+    dtype = jnp.dtype(dtype)
+    resident = 2 * m * d * dtype.itemsize < VMEM_RESIDENT_BYTES
+    return "bfloat16" if (not resident and dtype == jnp.float32) else None
+
+
 def init_state(vg: ValGradFn, x0: Array, m: int,
                history_dtype=None) -> LBFGSState:
     """Build the initial solver state; evaluates f and grad once at x0
@@ -61,13 +74,8 @@ def init_state(vg: ValGradFn, x0: Array, m: int,
     always keep full-precision history (parity paths)."""
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
-    if history_dtype == "auto":
-        from ..utils.roofline import VMEM_RESIDENT_BYTES
-
-        resident = 2 * m * x0.shape[-1] * dtype.itemsize \
-            < VMEM_RESIDENT_BYTES
-        history_dtype = "bfloat16" \
-            if (not resident and dtype == jnp.float32) else None
+    history_dtype = resolve_history_dtype(history_dtype, m, x0.shape[-1],
+                                          dtype)
     hdtype = jnp.dtype(history_dtype) if history_dtype else dtype
     d = x0.shape[-1]
     R, L = hist_block(d)

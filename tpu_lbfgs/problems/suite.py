@@ -226,15 +226,38 @@ def multi_phi_for(name: str, use_pallas: bool = True):
     return make_multi_phi(name, get_problem(name).f, use_pallas=use_pallas)
 
 
-def fused_tail_for(name: str, with_matvec: bool = True,
-                   use_pallas: bool = True):
+def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
+    """Whether the fused tail should compute the history matvecs in-kernel.
+
+    Measured rule (giant_sweep_results.jsonl, d=2^26): in-kernel matvecs win
+    exactly when the history STREAMS from HBM (19.2 vs 20.2 ms/iter bf16,
+    28.7 vs 29.1 f32); when the ring is VMEM-resident, XLA's dot_general
+    reads it for free and wins (PERFORMANCE.md "VMEM residency").  Uses the
+    RESOLVED history dtype — an auto-selected bf16 ring can itself be
+    resident."""
+    from ..utils.roofline import VMEM_RESIDENT_BYTES
+
+    itemsize = 2 if history_dtype == "bfloat16" else 4
+    return 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
+
+
+def fused_tail_for(name: str, with_matvec="auto",
+                   use_pallas: bool = True, m: int = 10,
+                   d: Optional[int] = None, history_dtype=None):
     """The fused post-line-search tail (trial point + f/grad + pair update +
     scalar reductions + history matvecs in ONE HBM stream) for a suite
     problem; pass as ``fused_tail=`` to minimize()/solve for the fastest
     path.  Falls back to the identical-semantics jnp composition for
-    problems without a Pallas body or ineligible shapes/dtypes."""
+    problems without a Pallas body or ineligible shapes/dtypes.
+
+    with_matvec="auto" applies the measured residency rule
+    (auto_with_matvec) — requires ``d``; without it the safe resident-size
+    default (False) is used."""
     from ..kernels import make_fused_tail
 
+    if with_matvec == "auto":
+        with_matvec = (auto_with_matvec(m, d, history_dtype)
+                       if d is not None else False)
     return make_fused_tail(name, fused_value_and_grad(name, use_pallas),
                            with_matvec=with_matvec, use_pallas=use_pallas)
 
