@@ -1,6 +1,6 @@
 #!/bin/bash
-# Hardware experiment pipeline for round 2: waits for the axon tunnel to
-# recover (see memory: axon-tunnel-wedge), then runs, in order:
+# Hardware experiment pipeline: waits for the axon tunnel to be healthy,
+# then runs, in order:
 #   1. the reference-protocol experiment (Table-I analogue)
 #   2. the giant-d roofline sweep
 #   3. the north-star time-to-1e-5 row (f32 TPU + f64 host refine)
