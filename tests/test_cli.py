@@ -57,3 +57,25 @@ def test_multi_seed_protocol():
     out = run_cli("--problem", "quadratic", "--dim", "16", "--max-iters",
                   "20", "--tol", "1e-10", "--seeds", "42", "365")
     assert "mean wall over 2 seeds" in out
+
+
+def test_shard_mode_forwards_problem_to_pallas_path():
+    """--shard --pallas must reach the shard-composable kernel path (the CLI
+    forwards problem=<name>; regression for the round-3 review finding where
+    the single-device Pallas vg leaked into the auto-partitioned program).
+    Unaligned d exercises the padding + wrapped-dir_poly path too."""
+    import os
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    cmd = [sys.executable, "-m", "tpu_lbfgs", "--device", "cpu",
+           "--dtype", "float32", "--problem", "rosenbrock", "--dim", "500",
+           "--max-iters", "40", "--tol", "1e-3", "--shard", "--pallas",
+           "--json"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                         env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    # the shard-composable path engaged: no fallback warning on stderr
+    assert "falling back to the auto-partitioned jnp path" not in out.stderr
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["results"][0]["status"] in ("converged", "max_iters")

@@ -72,6 +72,31 @@ def test_sharded_uneven_dimension(mesh):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_sharded_polynomial_ls_unpadded_dir_poly(mesh):
+    """Regression: dir_poly must see the UNPADDED (x, d).  With d % mesh != 0
+    the padded Rosenbrock chain gains an a-dependent crossing term at the pad
+    boundary (100*(0 - x_{d-1}^2)^2) that corrupts the line-search polynomial
+    — silent trajectory divergence (f=1315 vs 557 after 15 iterations at
+    d=500 before the fix) while the direct line search agreed to 1e-5."""
+    p = get_problem("rosenbrock")
+    d = 500  # pads on the 8-way mesh
+    x0 = jnp.asarray(np.random.default_rng(13).uniform(-2, 2, d))
+    cfg = LBFGSConfig(line_search="backtracking", ls_eval="polynomial",
+                      max_iters=15, tol=0.0)
+    r_ref = minimize(p.f, x0, cfg, grad=p.grad, dir_poly=p.dir_poly)
+    r_sh = sharded_minimize(p.f, x0, cfg, mesh=mesh, grad=p.grad,
+                            dir_poly=p.dir_poly)
+    np.testing.assert_allclose(float(r_sh.f), float(r_ref.f), rtol=1e-4)
+
+    mesh2 = make_mesh_2d(batch_size=2)
+    x0s = jnp.asarray(np.random.default_rng(14).uniform(-2, 2, (2, d)))
+    res_sh = sharded_vmap_minimize(p.f, x0s, cfg, mesh=mesh2, grad=p.grad,
+                                   dir_poly=p.dir_poly)
+    for i in range(2):
+        r1 = minimize(p.f, x0s[i], cfg, grad=p.grad, dir_poly=p.dir_poly)
+        np.testing.assert_allclose(float(res_sh.f[i]), float(r1.f), rtol=1e-4)
+
+
 def test_state_actually_sharded(mesh):
     """The returned x must live sharded across all 8 devices."""
     p = get_problem("quadratic")

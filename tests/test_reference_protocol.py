@@ -117,19 +117,25 @@ def test_norescue_recovers_where_parallel_quirk_overflows():
 def test_quick_grid_has_no_f64_probe_and_speedups_skip_failed_cells(tmp_path):
     """(a) The Fig.-1 f64 probe is subprocess-only (isolate=False runs, i.e.
     tests, must not spawn real-TPU interpreters); (b) the per-iteration
-    speedup summary excludes cells that never iterated — a
-    line_search_failed-at-iteration-1 cell has a truthy iters_per_s that
-    round-2 turned into bogus 0.0x rows."""
+    speedup summary keys on STATUS: line_search_failed-at-iteration-1 cells
+    (truthy iters_per_s that round-2 turned into bogus 0.0x rows) are
+    excluded, but a quadratic legitimately converging at 1 iteration IS a
+    real rate and must be summarized."""
     report = run_protocol(problem="quadratic", dims=(256,), seeds=(42,),
                           cpu=True, tpu=True, cpu_budget_s=60.0,
                           out=str(tmp_path / "r.json"), quick=True,
                           isolate=False)
     assert report["f64_probe"] is None
     for s in report["per_iteration_speedups"]:
-        # every summarized pair comes from cells that really iterated
-        t = next(c for c in report["cells"]
-                 if c["d"] == s["d"] and c["strategy"] == s["strategy"]
-                 and c["backend"] == "tpu-f32-norescue")
-        assert t["mean_iterations"] > 1
+        # every summarized pair comes from cells that converged or hit
+        # max_iters — never from failed-at-iteration-1 cells
+        for backend in ("tpu-f32-norescue", "cpu-native-f64"):
+            c = next(c for c in report["cells"]
+                     if c["d"] == s["d"] and c["strategy"] == s["strategy"]
+                     and c["backend"] == backend)
+            assert any(st in ("converged", "max_iters")
+                       for st in c["statuses"])
         # (the ratio's magnitude is dispatch-dominated at d=256 — only the
         # provenance matters here)
+    # converged-at-1-iteration quadratic cells are summarized, not dropped
+    assert len(report["per_iteration_speedups"]) == 4

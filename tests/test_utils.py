@@ -48,6 +48,23 @@ def test_traffic_model_sanity():
     assert 0 < tm.roofline_fraction(peak * 0.5) == 0.5
 
 
+def test_traffic_model_auto_history_matches_solver_rule():
+    """history_dtype='auto' in the traffic model must mirror
+    resolve_history_dtype: bf16 only for STREAMING f32 rings — an f64 run
+    keeps full-precision history (hw=1.0), never a modeled bf16 ring."""
+    cfg = LBFGSConfig(direction="compact_incremental", ls_eval="polynomial",
+                      m=10, history_dtype="auto")
+    d = 1 << 24  # 2*m*d*8 well past VMEM residency
+    tm64 = traffic_model(cfg, d=d, dtype_bytes=8)
+    tm64_full = traffic_model(cfg.replace(history_dtype=None), d=d,
+                              dtype_bytes=8)
+    assert tm64.passes_total == tm64_full.passes_total
+    tm32 = traffic_model(cfg, d=d, dtype_bytes=4)
+    tm32_bf16 = traffic_model(cfg.replace(history_dtype="bfloat16"), d=d,
+                              dtype_bytes=4)
+    assert tm32.passes_total == tm32_bf16.passes_total
+
+
 def test_accurate_dots_solver_path():
     from tpu_lbfgs import LBFGSConfig, Status, get_problem, minimize
     p = get_problem("coupled_quadratic")

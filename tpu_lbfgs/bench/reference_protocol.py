@@ -323,9 +323,11 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # comparable unit, as the fixed-iteration harness docstring argues).
     # Rate ratios are only meaningful for cells that actually ITERATED: a
     # line_search_failed-at-iteration-1 cell has a truthy iters_per_s
-    # (1 iter / dispatch wall) that would produce a bogus ratio.
+    # (1 iter / dispatch wall) that would produce a bogus ratio.  Keyed on
+    # STATUS, not iteration count — a quadratic legitimately converging at
+    # 1 iteration is a real rate.
     def _ran(c):
-        return (c.get("iters_per_s") and c.get("mean_iterations", 0) > 1
+        return (c.get("iters_per_s")
                 and any(s in ("converged", "max_iters")
                         for s in c.get("statuses", ())))
 
@@ -352,8 +354,11 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # the recorded wait lands in the report — a number or a documented
     # measurement, never just a docstring.
     f64_probe = None
-    if tpu and isolate:   # subprocess-only: never spawned from CPU-pinned
-        #                   in-process runs (tests use isolate=False)
+    # Subprocess-only (never from CPU-pinned in-process runs — tests use
+    # isolate=False), skipped in --quick smoke runs, and skipped when the
+    # circuit breaker already concluded the tunnel is wedged: the probe's
+    # generous timeout (>=1800s) would otherwise block against a dead tunnel.
+    if tpu and isolate and not quick and tpu_timeouts_in_a_row < 3:
         t0 = time.perf_counter()
         f64_probe = _cell_subprocess("quadratic", 10_000, "backtracking",
                                      "tpu-f64", seeds[:1], tpu_budget_s,

@@ -66,22 +66,28 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
     fused_tail = None
     if use_pallas and n_devices > 1:
         mult = shard_alignment(n_devices)
-        f, vg, x0, d_orig = _pad_for_mesh(p.f, vg, x0, n_devices, mult=mult)
+        f, vg, x0, d_orig, dir_poly = _pad_for_mesh(
+            p.f, vg, x0, n_devices, mult=mult, dir_poly=dir_poly)
         vg = shardmap_fused_vg(problem, mesh, d_orig)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig,
                                          with_matvec=False)
         stack = "pallas-shard"
-    else:
-        f, vg, x0, d_orig = _pad_for_mesh(p.f, vg, x0, n_devices)
-        if use_pallas:                       # n_devices == 1: unsharded fast stack
-            from ..problems.suite import fused_tail_for, fused_value_and_grad
+    elif use_pallas:
+        # n_devices == 1: the unsharded fast stack on the ORIGINAL d.  The
+        # single-device fused kernels handle arbitrary d internally; padding
+        # here would pair the padded f with a raw vg whose pad-coordinate
+        # gradient is nonzero for chain objectives (a different problem).
+        from ..problems.suite import fused_tail_for, fused_value_and_grad
 
-            vg = fused_value_and_grad(problem, use_pallas=True)
-            fused_tail = fused_tail_for(problem, with_matvec=False,
-                                        use_pallas=True)
-            stack = "pallas-unsharded"
-        else:
-            stack = "jnp-shard"
+        f = p.f
+        vg = fused_value_and_grad(problem, use_pallas=True)
+        fused_tail = fused_tail_for(problem, with_matvec=False,
+                                    use_pallas=True)
+        stack = "pallas-unsharded"
+    else:
+        f, vg, x0, d_orig, dir_poly = _pad_for_mesh(
+            p.f, vg, x0, n_devices, dir_poly=dir_poly)
+        stack = "jnp-shard"
 
     st_sh = state_shardings(mesh)
     x_sh = NamedSharding(mesh, P("d"))

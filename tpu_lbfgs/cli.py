@@ -146,13 +146,17 @@ def main(argv=None) -> int:
         else:
             x0 = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
                                          args.dim), dtype)
-            vg = (fused_value_and_grad(args.problem, use_pallas=True)
-                  if args.pallas else None)
             dir_poly = p.dir_poly if args.poly_ls else None
-            fused_tail = phi_batch = None
-            if args.pallas:
+            vg = fused_tail = phi_batch = None
+            if args.pallas and not args.shard:
+                # Single-device fused kernels.  The --shard path instead
+                # passes problem= so sharded_minimize builds the
+                # shard-composable kernels itself — injecting the
+                # single-device Pallas vg into an auto-partitioned program
+                # would force XLA to gather the full vector around it.
                 from .core.solver import resolve_history_dtype
                 from .problems.suite import fused_tail_for, multi_phi_for
+                vg = fused_value_and_grad(args.problem, use_pallas=True)
                 fused_tail = fused_tail_for(
                     args.problem, with_matvec="auto", use_pallas=True,
                     m=cfg.m, d=args.dim,
@@ -164,8 +168,8 @@ def main(argv=None) -> int:
             if args.shard:
                 from .dist import make_mesh, sharded_minimize
                 res = sharded_minimize(p.f, x0, cfg, mesh=make_mesh(),
-                                       grad=None if vg else p.grad,
-                                       value_and_grad=vg, dir_poly=dir_poly)
+                                       grad=p.grad, dir_poly=dir_poly,
+                                       problem=args.problem)
             else:
                 solve = lambda: minimize(p.f, x0, cfg,
                                          grad=None if vg else p.grad,

@@ -38,12 +38,19 @@ from .pallas_sharded import (
 )
 
 
-def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None):
+def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None,
+                  dir_poly=None):
     """Zero-pad x0 to a multiple of ``mult`` (default 128 * n_shards) and
     wrap the objective to ignore the padding.  Padded coordinates have
     exactly zero gradient, so they never move and the padded solve is
     step-for-step identical to the original (the line search, history, and
     all reductions see zeros there).
+
+    ``dir_poly`` (optional) is wrapped the same way — it must see the
+    UNPADDED (x, d): chain objectives like Rosenbrock have an a-dependent
+    crossing term at the pad boundary (100*(0 - (x_{d-1}+a*p_{d-1})^2)^2)
+    that would corrupt the line-search polynomial even though the padded
+    coordinates themselves never move.
 
     The 128 factor keeps the history in its lane-tiled (m, R, 128) layout
     (types.hist_block) with the row-block axis R divisible by the mesh, so
@@ -56,7 +63,7 @@ def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None):
         mult = 128 * n_shards
     d_pad = ((d + mult - 1) // mult) * mult
     if d_pad == d:
-        return f, vg, x0, d
+        return f, vg, x0, d, dir_poly
     pad = d_pad - d
     zeros = jnp.zeros(x0.shape[:-1] + (pad,), x0.dtype)
     x0p = jnp.concatenate([x0, zeros], axis=-1)
@@ -69,7 +76,12 @@ def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None):
         return val, jnp.concatenate(
             [g, jnp.zeros(g.shape[:-1] + (pad,), g.dtype)], axis=-1)
 
-    return f_p, vg_p, x0p, d
+    dir_poly_p = None
+    if dir_poly is not None:
+        def dir_poly_p(x, p, *a, **kw):
+            return dir_poly(x[..., :d], p[..., :d], *a, **kw)
+
+    return f_p, vg_p, x0p, d, dir_poly_p
 
 
 def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
@@ -106,8 +118,9 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
         cfg = cfg.replace(use_pallas=False)
 
     if pallas_shard:
-        f, vg, x0_arr, d_orig = _pad_for_mesh(
-            f, vg, x0, n_shards, mult=shard_alignment(n_shards))
+        f, vg, x0_arr, d_orig, dir_poly = _pad_for_mesh(
+            f, vg, x0, n_shards, mult=shard_alignment(n_shards),
+            dir_poly=dir_poly)
         # Shard-local kernels replace both the objective interface and the
         # iteration tail; the in-loop jnp ops (direction algebra, line-search
         # scalars) stay auto-partitioned.  use_pallas=False inside stops
@@ -120,7 +133,8 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
         cfg = cfg.replace(use_pallas=False)
     else:
-        f, vg, x0_arr, d_orig = _pad_for_mesh(f, vg, x0, n_shards)
+        f, vg, x0_arr, d_orig, dir_poly = _pad_for_mesh(
+            f, vg, x0, n_shards, dir_poly=dir_poly)
 
     st_sh = state_shardings(mesh, d_axis)
     x_sh = NamedSharding(mesh, P(d_axis))
@@ -193,8 +207,9 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
 
     phi_batch = None
     if pallas_shard:
-        f, vg, x0_batch, d_orig = _pad_for_mesh(
-            f, vg, x0_batch, n_shards, mult=shard_alignment(n_shards))
+        f, vg, x0_batch, d_orig, dir_poly = _pad_for_mesh(
+            f, vg, x0_batch, n_shards, mult=shard_alignment(n_shards),
+            dir_poly=dir_poly)
         vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
                                          with_matvec=False)
@@ -203,7 +218,8 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
         cfg = cfg.replace(use_pallas=False)
     else:
-        f, vg, x0_batch, d_orig = _pad_for_mesh(f, vg, x0_batch, n_shards)
+        f, vg, x0_batch, d_orig, dir_poly = _pad_for_mesh(
+            f, vg, x0_batch, n_shards, dir_poly=dir_poly)
 
     # spmd_axis_name: shards every vmapped shard_map's batch dimension on the
     # mesh's batch axis (a no-op for the plain-jnp path, whose partitioning

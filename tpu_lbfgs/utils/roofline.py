@@ -101,9 +101,11 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     hw = 1.0
     hd = cfg.history_dtype
     if hd == "auto":
-        # Same rule init_state applies: f32 while resident, bf16 streaming.
-        hd = None if (2 * m * d * dtype_bytes < VMEM_RESIDENT_BYTES) \
-            else "bfloat16"
+        # Same rule resolve_history_dtype applies: f32 while resident, bf16
+        # streaming — but ONLY for f32 inputs; f64 always keeps full
+        # precision (parity paths), so its history weight stays 1.0.
+        streams = 2 * m * d * dtype_bytes >= VMEM_RESIDENT_BYTES
+        hd = "bfloat16" if (streams and dtype_bytes == 4) else None
     if hd is not None:
         import jax.numpy as jnp
         hw = jnp.dtype(hd).itemsize / dtype_bytes
