@@ -163,3 +163,30 @@ def test_cli_debug_nans_flag():
         assert jax.config.jax_debug_nans
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_refresh_interval_zero_rejected():
+    """refresh_interval=0 would make the segmented solve's inner loop unable
+    to advance k -> infinite outer while_loop (device hang); rejected at
+    config construction.  'never' is spelled None."""
+    with pytest.raises(ValueError, match="refresh_interval"):
+        LBFGSConfig(direction="compact_incremental", refresh_interval=0)
+    LBFGSConfig(refresh_interval=1)
+    LBFGSConfig(refresh_interval=None)
+
+
+def test_accurate_dots_incompatible_with_fused_kernels():
+    """accurate_dots silently replaced by per-block accumulation was exactly
+    the giant-d corruption it exists to prevent; now a trace-time error."""
+    from tpu_lbfgs import minimize
+    from tpu_lbfgs.problems.suite import fused_tail_for
+    p = get_problem("rosenbrock")
+    x0 = jnp.full((256,), 1.5, jnp.float32)
+    tail = fused_tail_for("rosenbrock", with_matvec=False, use_pallas=False)
+    with pytest.raises(ValueError, match="accurate_dots"):
+        minimize(p.f, x0, LBFGSConfig(accurate_dots=True, max_iters=5),
+                 grad=p.grad, fused_tail=tail)
+    with pytest.raises(ValueError, match="accurate_dots"):
+        minimize(p.f, x0,
+                 LBFGSConfig(accurate_dots=True, use_pallas=True, max_iters=5),
+                 grad=p.grad)

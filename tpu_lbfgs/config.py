@@ -196,6 +196,13 @@ class LBFGSConfig:
                 "'polynomial'")
         if self.m <= 0:
             raise ValueError("history depth m must be positive")
+        if self.refresh_interval is not None and self.refresh_interval < 1:
+            # refresh_interval=0 would make solve_from_state's inner segment
+            # unable to advance k -> the outer while_loop spins forever (a
+            # device hang inside jit); "never refresh" is spelled None.
+            raise ValueError(
+                f"refresh_interval must be >= 1 or None (got "
+                f"{self.refresh_interval!r})")
         if self.history_dtype not in (None, "bfloat16", "float32", "auto"):
             raise ValueError(
                 f"unknown history_dtype {self.history_dtype!r}; expected "

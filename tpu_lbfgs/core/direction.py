@@ -209,25 +209,35 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
     return jnp.where(fallback, -g, -r_vec), aux
 
 
-def compact_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
-    """Products recomputed from the (m, R, L) history every iteration."""
+def history_products(state: LBFGSState):
+    """The four history contractions (SY, YY, Sg, Yg) from the (m, R, L)
+    buffers and the current gradient — shared by the ``compact`` direction
+    and solver.refresh_products (which is specified to reproduce exactly
+    these contractions as the incremental path's drift reference).
+
+    Expressed as d-axis contractions directly on the (m, R, L) buffers — no
+    concatenated copy and no materialized transpose; XLA shares the S/Y
+    streams across the four contractions.  Under d-axis sharding this whole
+    group is ONE fused all-reduce of ~(2m+2)m scalars.
+    """
     dtype = state.g.dtype
-    # Expressed as d-axis contractions directly on the (m, R, L) buffers — no
-    # concatenated copy and no materialized transpose; XLA shares the S/Y
-    # streams across the four contractions.  Under d-axis sharding this whole
-    # group is ONE fused all-reduce of ~(2m+2)m scalars.
     dn_mm = (((1, 2), (1, 2)), ((), ()))   # (m,R,L) x (m,R,L) -> (m,m)
     dn_mv = (((1, 2), (0, 1)), ((), ()))   # (m,R,L) x (R,L)   -> (m,)
     g3 = state.g.reshape(state.s_hist.shape[1:])
-    SY_p = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
-                               preferred_element_type=dtype)
-    YY_p = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
-                               preferred_element_type=dtype)
-    Sg_p = jax.lax.dot_general(state.s_hist, g3, dn_mv,
-                               preferred_element_type=dtype)
-    Yg_p = jax.lax.dot_general(state.y_hist, g3, dn_mv,
-                               preferred_element_type=dtype)
-    return _compact_core(cfg, state, SY_p, YY_p, Sg_p, Yg_p)
+    SY = jax.lax.dot_general(state.s_hist, state.y_hist, dn_mm,
+                             preferred_element_type=dtype)
+    YY = jax.lax.dot_general(state.y_hist, state.y_hist, dn_mm,
+                             preferred_element_type=dtype)
+    Sg = jax.lax.dot_general(state.s_hist, g3, dn_mv,
+                             preferred_element_type=dtype)
+    Yg = jax.lax.dot_general(state.y_hist, g3, dn_mv,
+                             preferred_element_type=dtype)
+    return SY, YY, Sg, Yg
+
+
+def compact_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
+    """Products recomputed from the (m, R, L) history every iteration."""
+    return _compact_core(cfg, state, *history_products(state))
 
 
 def compact_incremental_direction_with_aux(cfg: LBFGSConfig,

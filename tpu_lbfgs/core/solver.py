@@ -175,6 +175,14 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     phi_batch: optional batched trial evaluator (problems.suite.multi_phi_for)
     used by the speculative line search under ls_eval="direct".
     """
+    if cfg.accurate_dots and (fused_tail is not None or cfg.use_pallas):
+        # The fused tail / Pallas kernels use plain per-block accumulation;
+        # silently dropping the requested Neumaier-compensated reductions
+        # (the whole point of accurate_dots at giant d) would corrupt exactly
+        # the runs that asked for them.
+        raise ValueError(
+            "cfg.accurate_dots is incompatible with fused_tail/use_pallas "
+            "(kernels accumulate per-block, not compensated); disable one")
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
 
@@ -367,18 +375,8 @@ def refresh_products(state: LBFGSState) -> LBFGSState:
     Called between solve segments (solve_from_state with
     cfg.refresh_interval), never inside the hot loop.
     """
-    dtype = state.g.dtype
-    dn_mm = (((1, 2), (1, 2)), ((), ()))
-    dn_mv = (((1, 2), (0, 1)), ((), ()))
-    g3 = state.g.reshape(state.s_hist.shape[1:])
-    SY = lax.dot_general(state.s_hist, state.y_hist, dn_mm,
-                         preferred_element_type=dtype)
-    YY = lax.dot_general(state.y_hist, state.y_hist, dn_mm,
-                         preferred_element_type=dtype)
-    Sg = lax.dot_general(state.s_hist, g3, dn_mv,
-                         preferred_element_type=dtype)
-    Yg = lax.dot_general(state.y_hist, g3, dn_mv,
-                         preferred_element_type=dtype)
+    from .direction import history_products
+    SY, YY, Sg, Yg = history_products(state)
     m = SY.shape[0]
     idx = jnp.arange(m)
     SY = SY.at[idx, idx].set(state.sy_hist)
@@ -443,7 +441,8 @@ def make_solve_segment(cfg: LBFGSConfig, f: ObjFn, grad=None,
     """
     vg = make_value_and_grad(f, grad, value_and_grad)
     seg_iters = iters if iters is not None \
-        else (cfg.refresh_interval or cfg.max_iters)
+        else (cfg.refresh_interval if cfg.refresh_interval is not None
+              else cfg.max_iters)
     body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch)
 
     def segment(state: LBFGSState) -> LBFGSState:

@@ -46,7 +46,6 @@ LANES = 128
 # streamed buffer.  Env-overridable for block-size sweeps on real hardware
 # (set before import; kernels read it at trace time).
 BLOCK_ROWS = int(os.environ.get("TPU_LBFGS_BLOCK_ROWS", "512"))
-COMBINE_ROWS = 128      # smaller blocks: (m, rows, 128) history tiles x2
 
 
 def _interpret() -> bool:
@@ -220,24 +219,24 @@ def _hist3(s_hist: Array) -> Array:
 def _combine_pallas(g, s_hist, y_hist, v, u, gamma):
     dd = g.shape[0]
     m = s_hist.shape[0]
-    COMBINE_ROWS = _combine_rows(m)
-    g2 = _pad_rows(_as2d(g), COMBINE_ROWS)
+    combine_rows = _combine_rows(m)
+    g2 = _pad_rows(_as2d(g), combine_rows)
     rows = g2.shape[0]
     s3, y3 = s_hist, y_hist    # already (m, R, 128)
     pad = rows - s3.shape[1]
     if pad:
         s3 = jnp.pad(s3, ((0, 0), (0, pad), (0, 0)))
         y3 = jnp.pad(y3, ((0, 0), (0, pad), (0, 0)))
-    blk = pl.BlockSpec((COMBINE_ROWS, LANES), lambda j: (j, 0),
+    blk = pl.BlockSpec((combine_rows, LANES), lambda j: (j, 0),
                        memory_space=pltpu.VMEM)
-    hist_blk = pl.BlockSpec((m, COMBINE_ROWS, LANES), lambda j: (0, j, 0),
+    hist_blk = pl.BlockSpec((m, combine_rows, LANES), lambda j: (0, j, 0),
                             memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
     r = pl.pallas_call(
         _combine_kernel,
-        grid=(rows // COMBINE_ROWS,),
+        grid=(rows // combine_rows,),
         in_specs=[scal, scal, scal, blk, hist_blk, hist_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), f32),
@@ -478,6 +477,22 @@ def _vg_coupled_kernel(ns_ref, edge_ref, x_ref, halo_ref, f_ref, g_ref,
         f_ref[0, 0] = acc_ref[0]
 
 
+
+def _halo_spec(br: int, rows: int) -> pl.BlockSpec:
+    """BlockSpec for the forward-halo input: the first 8 rows of the NEXT
+    block — an 8-row (4 KiB) DMA per grid step (TPU lowering requires
+    >= (8, 128) blocks).  Kernels only read element [0, 0]; the index is
+    min-clamped at the final block (no out-of-range DMA), where the
+    next-shard edge scalar is used instead.  Shared by every halo-carrying
+    kernel so the clamping subtlety lives in exactly one place."""
+    halo_blocks = br // 8
+    last_halo = rows // 8 - 1
+    return pl.BlockSpec(
+        (8, LANES),
+        lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
+        memory_space=pltpu.VMEM)
+
+
 def _run_vg(kernel, x: Array, needs_halo: bool, n: int = None, start=0,
             edges: Array = None, br: int = None) -> Tuple[Array, Array]:
     """Run a fused vg kernel over (a shard of) x.
@@ -511,17 +526,7 @@ def _run_vg(kernel, x: Array, needs_halo: bool, n: int = None, start=0,
             edges = jnp.zeros((2,), f32)
         in_specs.insert(1, scal)
         args.insert(1, edges.astype(f32))
-        # First rows of the NEXT block: an 8-row (4 KiB) halo DMA per grid
-        # step — TPU lowering requires >= (8, 128) blocks.  The kernel only
-        # reads element [0, 0]; clamped at the final block, where the edge
-        # scalar is used instead.
-        halo_blocks = br // 8
-        last_halo = rows // 8 - 1
-        halo = pl.BlockSpec(
-            (8, LANES),
-            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
-            memory_space=pltpu.VMEM)
-        in_specs.append(halo)
+        in_specs.append(_halo_spec(br, rows))
         args.append(x2)
 
     f, g = pl.pallas_call(
@@ -539,25 +544,9 @@ def _run_vg(kernel, x: Array, needs_halo: bool, n: int = None, start=0,
 
 def fused_vg_quadratic(x: Array, use_pallas: bool = True):
     if use_pallas and pallas_ok(x):
-        dd = x.shape[0]
-        x2 = _pad_rows(_as2d(x), BLOCK_ROWS)
-        rows = x2.shape[0]
-        blk = pl.BlockSpec((BLOCK_ROWS, LANES), lambda j: (j, 0),
-                           memory_space=pltpu.VMEM)
-        scal = pl.BlockSpec(memory_space=pltpu.SMEM)
-        out_scal = pl.BlockSpec((1, 1), lambda j: (0, 0),
-                                memory_space=pltpu.SMEM)
-        f, g = pl.pallas_call(
-            _vg_quadratic_kernel,
-            grid=(rows // BLOCK_ROWS,),
-            in_specs=[scal, blk],
-            out_specs=(out_scal, blk),
-            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((rows, LANES), jnp.float32)),
-            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-            interpret=_interpret(),
-        )(_ns_arg(dd, 0), x2)
-        return f[0, 0], g.reshape(-1)[:dd]
+        # Same plumbing as the sharded path (VG_KERNELS routes this kernel
+        # through _run_vg too); the kernel ignores the halo machinery.
+        return _run_vg(_vg_quadratic_kernel, x, needs_halo=False)
     r = x - 1.0
     return jnp.sum(r * r), 2.0 * r
 
@@ -769,12 +758,7 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
     in_specs += [blk, blk, blk]
     args += [x2, d2, g2]
     if needs_halo:
-        halo_blocks = br // 8
-        last_halo = rows // 8 - 1
-        halo = pl.BlockSpec(
-            (8, LANES),
-            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
-            memory_space=pltpu.VMEM)
+        halo = _halo_spec(br, rows)
         in_specs += [halo, halo]
         args += [x2, d2]
     if with_matvec:
@@ -936,12 +920,7 @@ def _multi_phi_pallas(problem: str, x, d, alphas, n: int = None, start=0,
     in_specs += [blk, blk]
     args += [x2, d2]
     if needs_halo:
-        halo_blocks = br // 8
-        last_halo = rows // 8 - 1
-        halo = pl.BlockSpec(
-            (8, LANES),
-            lambda j: (jnp.minimum((j + 1) * halo_blocks, last_halo), 0),
-            memory_space=pltpu.VMEM)
+        halo = _halo_spec(br, rows)
         in_specs += [halo, halo]
         args += [x2, d2]
 

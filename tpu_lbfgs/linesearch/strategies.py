@@ -37,6 +37,17 @@ Fidelity notes (SURVEY.md §7 fidelity traps, replicated under
   3. The parallel backtracking/interp searches rescue underflowed steps with
      ``return 0.5`` (parallel line_search.cpp:38-41,223-227) — enabled via
      ``cfg.alpha_rescue_floor``.
+  4. ``cubicInterpolate`` (line_search.cpp:8-12) anchors the Nocedal-Wright
+     minimizer formula at alpha0 without flipping d2's sign, selecting the
+     cubic's MAXIMIZER root (on phi(a)=a^3/3-a through (0, 3) it returns
+     -1, the maximizer; the minimizer is +1) — the safeguard bands then
+     degrade the search toward halving/bisection.  "fixed" uses the
+     textbook eq. 3.59 (interpolate.cubic_interpolate_fixed).
+  5. ``quadraticInterpolate`` is called with phi0 at the TRIAL point but
+     dphi0 at 0 (line_search.cpp:110), returning a step LARGER than the
+     failed trial (1.5x on phi(a)=a^2-a) that the band rejects to plain
+     halving.  "fixed" uses the one-point textbook minimizer
+     (interpolate.quadratic_interpolate_fixed).
 """
 from __future__ import annotations
 
@@ -50,7 +61,9 @@ from ..config import LBFGSConfig
 from ..types import LineSearchResult
 from .interpolate import (
     cubic_interpolate,
+    cubic_interpolate_fixed,
     quadratic_interpolate,
+    quadratic_interpolate_fixed,
     safe_cubic_interpolate,
 )
 
@@ -297,8 +310,15 @@ def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
         delta = alpha - alpha_prev
         degenerate = jnp.abs(delta) < 1e-10
         grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
-        a_cubic = cubic_interpolate(alpha_prev, alpha, f_prev, g_dot_d,
-                                    f_new, grad_alpha)
+        # Traps #4/#5: the reference's cubic returns the maximizer root and
+        # its quadratic a larger-than-alpha step; "fixed" uses the textbook
+        # minimizers (same safeguard bands either way).
+        if cfg.fidelity == "fixed":
+            a_cubic = cubic_interpolate_fixed(alpha_prev, alpha, f_prev,
+                                              g_dot_d, f_new, grad_alpha)
+        else:
+            a_cubic = cubic_interpolate(alpha_prev, alpha, f_prev, g_dot_d,
+                                        f_new, grad_alpha)
         # Safeguard band is relative to alpha_prev (line_search.cpp:103);
         # NaN comparisons are False in C++ and JAX alike, so NaN survives.
         out_of_band = (a_cubic < 0.1 * alpha_prev) | (a_cubic > 0.9 * alpha_prev)
@@ -306,8 +326,11 @@ def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
         a_from_cubic = jnp.where(degenerate, alpha * 0.5, a_cubic)
 
         # --- quadratic branch (first failed trial) ---
-        a_quad = quadratic_interpolate(alpha, jnp.asarray(0.0, dtype),
-                                       f_new, g_dot_d, f_x)
+        if cfg.fidelity == "fixed":
+            a_quad = quadratic_interpolate_fixed(alpha, f_x, g_dot_d, f_new)
+        else:
+            a_quad = quadratic_interpolate(alpha, jnp.asarray(0.0, dtype),
+                                           f_new, g_dot_d, f_x)
         out_q = (a_quad < 0.1 * cfg.initial_step) | (a_quad > 0.9 * cfg.initial_step)
         a_quad = jnp.where(out_q, cfg.initial_step * 0.5, a_quad)
 
@@ -345,7 +368,13 @@ def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
 def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
                         f_x: Array, g_dot_d: Array) -> LineSearchResult:
     dtype = f_x.dtype
-    interp = safe_cubic_interpolate if cfg.safe_cubic else cubic_interpolate
+    if cfg.safe_cubic:
+        _fixed = cfg.fidelity == "fixed"
+        interp = lambda *a: safe_cubic_interpolate(*a, fixed=_fixed)
+    elif cfg.fidelity == "fixed":
+        interp = cubic_interpolate_fixed       # trap #4: minimizer root
+    else:
+        interp = cubic_interpolate
     inf = jnp.asarray(jnp.inf, dtype)
 
     def cond(carry):

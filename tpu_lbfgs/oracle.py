@@ -31,11 +31,26 @@ def cubic_interpolate(a0, a1, p0, dp0, p1, dp1):
     return a0 + (a1 - a0) * (dp0 + d2 - d1) / (dp0 - dp1 + 2.0 * d2)
 
 
+def cubic_interpolate_fixed(a0, a1, p0, dp0, p1, dp1):
+    """Textbook minimizer root (N&W eq. 3.59) — fidelity="fixed" (trap #4:
+    the reference's variant above returns the maximizer)."""
+    d1 = dp0 + dp1 - 3.0 * (p1 - p0) / (a1 - a0)
+    disc = d1 * d1 - dp0 * dp1
+    root = math.sqrt(disc) if disc >= 0 else float("nan")
+    d2 = math.copysign(root, a1 - a0)
+    return a1 - (a1 - a0) * (dp1 + d2 - d1) / (dp1 - dp0 + 2.0 * d2)
+
+
 def quadratic_interpolate(a0, a1, p0, dp0, p1):
     return a0 - 0.5 * dp0 * a0 * a0 / (p1 - p0 - dp0 * a0)
 
 
-def safe_cubic_interpolate(a0, a1, p0, dp0, p1, dp1):
+def quadratic_interpolate_fixed(alpha, p0, dp0, p_alpha):
+    """Textbook one-point quadratic minimizer — fidelity="fixed" (trap #5)."""
+    return -0.5 * dp0 * alpha * alpha / (p_alpha - p0 - dp0 * alpha)
+
+
+def safe_cubic_interpolate(a0, a1, p0, dp0, p1, dp1, fixed=False):
     if a0 > a1:
         a0, a1 = a1, a0
         p0, p1 = p1, p0
@@ -49,10 +64,16 @@ def safe_cubic_interpolate(a0, a1, p0, dp0, p1, dp1):
     if disc < 0:
         return mid
     d2 = math.copysign(math.sqrt(disc), span)
-    denom = dp0 - dp1 + 2.0 * d2
+    if fixed:
+        denom = dp1 - dp0 + 2.0 * d2
+    else:
+        denom = dp0 - dp1 + 2.0 * d2
     if abs(denom) < 1e-10:
         return mid
-    result = a0 + span * (dp0 + d2 - d1) / denom
+    if fixed:
+        result = a1 - span * (dp1 + d2 - d1) / denom
+    else:
+        result = a0 + span * (dp0 + d2 - d1) / denom
     if not math.isfinite(result):
         return mid
     return max(a0 + 0.1 * span, min(a1 - 0.1 * span, result))
@@ -132,14 +153,18 @@ def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
                 alpha = alpha * 0.5
             else:
                 grad_alpha = (f_new - f_x - gdd * alpha) / (alpha * alpha)
-                a = cubic_interpolate(alpha_prev, alpha, f_prev, gdd, f_new,
-                                      grad_alpha)
+                cubic = (cubic_interpolate_fixed if cfg.fidelity == "fixed"
+                         else cubic_interpolate)
+                a = cubic(alpha_prev, alpha, f_prev, gdd, f_new, grad_alpha)
                 # NaN comparisons are False, matching C++ (NaN passes through).
                 if a < 0.1 * alpha_prev or a > 0.9 * alpha_prev:
                     a = alpha_prev * 0.5
                 alpha = a
         else:
-            a = quadratic_interpolate(alpha, 0.0, f_new, gdd, f_x)
+            if cfg.fidelity == "fixed":
+                a = quadratic_interpolate_fixed(alpha, f_x, gdd, f_new)
+            else:
+                a = quadratic_interpolate(alpha, 0.0, f_new, gdd, f_x)
             if a < 0.1 * cfg.initial_step or a > 0.9 * cfg.initial_step:
                 a = cfg.initial_step * 0.5
             alpha = a
@@ -154,7 +179,13 @@ def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
 
 
 def ls_wolfe_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
-    interp = safe_cubic_interpolate if cfg.safe_cubic else cubic_interpolate
+    if cfg.safe_cubic:
+        interp = lambda *a: safe_cubic_interpolate(
+            *a, fixed=cfg.fidelity == "fixed")
+    elif cfg.fidelity == "fixed":
+        interp = cubic_interpolate_fixed
+    else:
+        interp = cubic_interpolate
     alpha = cfg.initial_step
     lo, hi = 0.0, float("inf")
     f_lo, dphi_lo = f_x, gdd
