@@ -52,3 +52,32 @@ def test_bad_schema_rejected(tmp_path):
                  __import__("tpu_lbfgs").types.LBFGSState._fields})
     with pytest.raises(ValueError, match="schema"):
         load_state(path)
+
+
+def test_bfloat16_history_roundtrip(tmp_path):
+    """Regression: np.savez writes ml_dtypes bfloat16 as raw '|V2' bytes,
+    which np.load could not hand back — bf16-history checkpoints (the
+    recommended config at giant d) saved fine but were unloadable.  Now the
+    ring is stored as exact f32 and cast back bit-identically on load."""
+    p = get_problem("rosenbrock")
+    vg = make_value_and_grad(p.f, p.grad)
+    cfg = LBFGSConfig(max_iters=7, tol=0.0, history_dtype="bfloat16")
+    st = init_state(vg, jnp.full((256,), -1.2, jnp.float32), 5, "bfloat16")
+    st = solve_from_state(cfg, p.f, vg, st)
+    assert st.s_hist.dtype == jnp.bfloat16
+    path = tmp_path / "ck_bf16.npz"
+    save_state(path, st)
+    st2 = load_state(path)
+    assert st2.s_hist.dtype == jnp.bfloat16
+    assert st2.y_hist.dtype == jnp.bfloat16
+    for a, b in zip(st, st2):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32) if a.dtype == jnp.bfloat16
+            else np.asarray(a),
+            np.asarray(b, np.float32) if b.dtype == jnp.bfloat16
+            else np.asarray(b))
+    # resume continues from the restored ring (reset terminal MAX_ITERS
+    # status to RUNNING, as the resume protocol does)
+    out = solve_from_state(cfg.replace(max_iters=14), p.f, vg,
+                           st2._replace(status=jnp.asarray(0, jnp.int32)))
+    assert int(out.k) == 14

@@ -221,3 +221,20 @@ def test_shardmap_vg_drives_solver(mesh):
     r_ref = minimize(p.f, x0, cfg, grad=p.grad)
     assert int(r.status) == Status.CONVERGED
     assert abs(float(r.f) - float(r_ref.f)) < 1e-10
+
+
+def test_vmap_minimize_record_trace():
+    """Regression: cfg.record_trace in the batched solver used to run the
+    full-length traced scan and then DROP the trace (res.trace was None);
+    now the per-lane trace comes back batched."""
+    p = get_problem("coupled_quadratic")
+    x0s = jnp.asarray(np.random.default_rng(9).uniform(-1, 1, (3, 48)))
+    cfg = LBFGSConfig(max_iters=40, tol=1e-8, record_trace=True)
+    res = vmap_minimize(p.f, x0s, cfg, grad=p.grad)
+    assert res.trace is not None
+    assert res.trace.f.shape == (3, 40)
+    # trace prefix matches the per-lane single solve
+    r1 = minimize(p.f, x0s[0], cfg, grad=p.grad)
+    k = int(r1.iterations)
+    np.testing.assert_allclose(np.asarray(res.trace.f[0, :k]),
+                               np.asarray(r1.trace.f[:k]), rtol=1e-10)

@@ -287,3 +287,25 @@ def test_sharded_minimize_nonsuite_pallas_warns(mesh):
     with pytest.warns(UserWarning, match="no shard-composable"):
         r = sharded_minimize(f, x0, cfg, mesh=mesh)
     assert int(r.status) == Status.CONVERGED
+
+
+def test_halo_free_problem_skips_ppermutes(mesh):
+    """Quadratic's kernels never read neighbour elements; the sharded vg and
+    tail must not pay dead ICI ppermutes on the critical path (only the
+    psum remains)."""
+    from tpu_lbfgs.dist.pallas_sharded import (
+        shardmap_fused_vg,
+        shardmap_fused_tail,
+    )
+    d = 1024 * 8
+    vg = shardmap_fused_vg("quadratic", mesh, d)
+    x = jnp.zeros((d,), jnp.float32)
+    assert "ppermute" not in str(jax.make_jaxpr(vg)(x))
+    vg_chain = shardmap_fused_vg("rosenbrock", mesh, d)
+    assert "ppermute" in str(jax.make_jaxpr(vg_chain)(x))
+    tail = shardmap_fused_tail("quadratic", mesh, d)
+    m, R = 5, d // 128
+    hist = jnp.zeros((m, R, 128), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda *a: tail(*a))(x, x, jnp.float32(0.1), x, hist, hist))
+    assert "ppermute" not in jaxpr

@@ -88,3 +88,28 @@ def test_initialize_benign_after_backend_is_live():
     jnp.zeros((8,)).sum().block_until_ready()   # force backend init
     multihost.initialize()
     multihost.initialize()
+
+
+def test_initialize_raises_when_pod_env_present(monkeypatch):
+    """Auto-detect failure + pod-job environment evidence = broken
+    bootstrap; swallowing it would silently run N independent single-host
+    solves instead of the pod-wide sharded one."""
+    import pytest
+    from tpu_lbfgs.dist import multihost
+
+    def boom(**kw):
+        raise RuntimeError("coordinator_address could not be detected")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False,
+                        raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises(RuntimeError, match="multi-host job"):
+        multihost.initialize()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    with pytest.raises(RuntimeError, match="SLURM_NTASKS"):
+        multihost.initialize()
+    # without the evidence the same failure stays benign
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    multihost.initialize()

@@ -11,7 +11,7 @@ select-ed away), which is exactly the per-lane convergence masking SURVEY.md
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
@@ -20,12 +20,48 @@ from jax import Array
 
 from ..config import LBFGSConfig
 from ..core.solver import (
+    _solve_traced,
+    _state_to_result,
     init_state,
     make_value_and_grad,
     solve_from_state,
-    _state_to_result,
 )
 from ..types import SolveResult
+
+
+def _solve_one(cfg, fp, vg, x0, dp):
+    state = init_state(vg, x0, cfg.m, cfg.history_dtype)
+    if cfg.record_trace:
+        out, trace = _solve_traced(cfg, fp, vg, state, dp)
+        return _state_to_result(out, trace)
+    out = solve_from_state(cfg, fp, vg, state, dp)
+    return _state_to_result(out, None)
+
+
+@lru_cache(maxsize=128)
+def _compiled_vmap_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
+                       with_params: bool):
+    """Jitted batched-solve factory, cached on the configuration and the
+    callables' identities (same pattern as core.solver._compiled_run):
+    sweep loops calling vmap_minimize repeatedly with stable function
+    references hit jax's compilation cache instead of paying the full
+    batched-solver compile per call."""
+    if with_params:
+        def run_one(x0, params):
+            fp = lambda x: f(x, params)
+            gp = (lambda x: grad(x, params)) if grad is not None else None
+            vgp = (lambda x: value_and_grad(x, params)) \
+                if value_and_grad is not None else None
+            vg = make_value_and_grad(fp, gp, vgp)
+            dp = (lambda x, d: dir_poly(x, d, params)) if dir_poly else None
+            return _solve_one(cfg, fp, vg, x0, dp)
+    else:
+        vg = make_value_and_grad(f, grad, value_and_grad)
+
+        def run_one(x0):
+            return _solve_one(cfg, f, vg, x0, dir_poly)
+
+    return jax.jit(jax.vmap(run_one))
 
 
 def vmap_minimize(f: Callable, x0_batch: Array,
@@ -41,27 +77,15 @@ def vmap_minimize(f: Callable, x0_batch: Array,
       x0_batch: (B, d) starting points.
       problem_params: optional per-instance parameters.
 
-    Returns a SolveResult whose leaves carry a leading batch axis.
+    Returns a SolveResult whose leaves carry a leading batch axis
+    (including a per-lane trace when cfg.record_trace — NOTE the traced
+    formulation runs all cfg.max_iters scan steps, as in minimize()).
+
+    Repeat calls with the same cfg and stable callable references reuse the
+    compiled batched program.
     """
+    run = _compiled_vmap_run(cfg, f, grad, value_and_grad, dir_poly,
+                             problem_params is not None)
     if problem_params is not None:
-        def run_one(x0, params):
-            fp = lambda x: f(x, params)
-            gp = (lambda x: grad(x, params)) if grad is not None else None
-            vgp = (lambda x: value_and_grad(x, params)) \
-                if value_and_grad is not None else None
-            vg = make_value_and_grad(fp, gp, vgp)
-            dp = (lambda x, d: dir_poly(x, d, params)) if dir_poly else None
-            state = init_state(vg, x0, cfg.m, cfg.history_dtype)
-            out = solve_from_state(cfg, fp, vg, state, dp)
-            return _state_to_result(out, None)
-
-        return jax.jit(jax.vmap(run_one))(jnp.asarray(x0_batch), problem_params)
-
-    vg = make_value_and_grad(f, grad, value_and_grad)
-
-    def run_one(x0):
-        state = init_state(vg, x0, cfg.m, cfg.history_dtype)
-        out = solve_from_state(cfg, f, vg, state, dir_poly)
-        return _state_to_result(out, None)
-
-    return jax.jit(jax.vmap(run_one))(jnp.asarray(x0_batch))
+        return run(jnp.asarray(x0_batch), problem_params)
+    return run(jnp.asarray(x0_batch))

@@ -175,6 +175,11 @@ def main(argv=None) -> int:
         print(f"{'cpu-native-baseline':28s} {cpu.iters_per_s:9.2f} it/s")
     except _Timeout:
         rows.append({"config": "cpu-native-baseline", "error": "timeout"})
+    except Exception as e:  # noqa: BLE001 - a failed native build (missing
+        #   g++, installed layout without native/) must not lose the whole
+        #   measured sweep right before the JSON is written
+        rows.append({"config": "cpu-native-baseline",
+                     "error": f"{type(e).__name__}: {e}"})
     finally:
         signal.alarm(0)
 

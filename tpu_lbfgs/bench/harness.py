@@ -44,9 +44,9 @@ class BenchResult:
     details: dict
 
 
-def _x0(problem: str, d: int, seed: int, dtype) -> jnp.ndarray:
-    # Near-valley start keeps Rosenbrock line-search work representative
-    # without needing 1e4+ iterations of warmup.
+def _x0(d: int, seed: int, dtype) -> jnp.ndarray:
+    # U(-2, 2) for every problem: near-valley starts keep line-search work
+    # representative without needing 1e4+ iterations of warmup.
     rng = np.random.default_rng(seed)
     base = rng.uniform(-2.0, 2.0, d)
     return jnp.asarray(base, dtype)
@@ -102,7 +102,7 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
     compile_s = None
     out = None
     for seed in seeds:
-        x0 = _x0(problem, d, seed, dtype)
+        x0 = _x0(d, seed, dtype)
         t0 = time.perf_counter()
         out = run(x0)
         sync(out)                           # warmup / compile
@@ -142,7 +142,7 @@ def bench_cpu_native(problem: str = "rosenbrock", d: int = 1_000_000,
     per_seed = []
     r = None
     for seed in seeds:
-        x0 = np.asarray(_x0(problem, d, seed, jnp.float64))
+        x0 = np.asarray(_x0(d, seed, jnp.float64))
         best = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -224,7 +224,7 @@ def time_to_tolerance(problem: str = "rosenbrock", d: int = 1_000_000,
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         return solve_from_state(cfg, p.f, vg, state, dir_poly)
 
-    x0 = _x0(problem, d, seed, dtype)
+    x0 = _x0(d, seed, dtype)
     out = run(x0)
     float(out.f)
     t0 = time.perf_counter()
@@ -292,6 +292,7 @@ def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
             return (int(r["iterations"]), r["status"], float(r["g_norm"]),
                     float(r["f"]))
     else:
+        prev_x64 = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", True)
 
         @jax.jit
@@ -310,17 +311,24 @@ def time_to_tolerance_refined(problem: str = "rosenbrock", d: int = 1 << 20,
             return (int(out.k), Status.NAMES[int(out.status)],
                     float(out.g_norm), float(out.f))
 
-    x0 = _x0(problem, d, seed, jnp.float32)
-    out1 = coarse(x0)                       # warmup/compile stage 1
-    float(out1.f)
-    r2 = refine_run(out1.x)                 # warmup stage 2
-    t0 = time.perf_counter()
-    out1 = coarse(x0)
-    float(out1.f)
-    t1 = time.perf_counter()
-    r2 = refine_run(out1.x)
-    t2 = time.perf_counter()
-    k2, status, g_norm, f = refine_stats(r2)
+    try:
+        x0 = _x0(d, seed, jnp.float32)
+        out1 = coarse(x0)                   # warmup/compile stage 1
+        float(out1.f)
+        r2 = refine_run(out1.x)             # warmup stage 2
+        t0 = time.perf_counter()
+        out1 = coarse(x0)
+        float(out1.f)
+        t1 = time.perf_counter()
+        r2 = refine_run(out1.x)
+        t2 = time.perf_counter()
+        k2, status, g_norm, f = refine_stats(r2)
+    finally:
+        # Restore the process-global x64 flag: leaving it on contaminates
+        # every later default-dtype array in the caller's process (on TPU
+        # that means silently emulated f64 in runs labeled f32).
+        if refine_backend != "native":
+            jax.config.update("jax_enable_x64", prev_x64)
     return {"wall_s": t2 - t0, "coarse_wall_s": t1 - t0,
             "refine_wall_s": t2 - t1, "refine_backend": refine_backend,
             "coarse_iterations": int(out1.k),

@@ -157,6 +157,7 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
     # the degree-4 directional coefficients (~|d|^4 ~ 1e46) overflow float32,
     # while direct evaluation only produces inf at over-long trial steps,
     # which the Armijo comparison rejects harmlessly.
+    prev_x64 = jax.config.jax_enable_x64
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
         use_pallas = False
@@ -189,30 +190,37 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
     walls, iters, fs, gnorms, statuses = [], [], [], [], []
     compile_s = None
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
-    for seed in seeds:
-        # Same budget discipline as the CPU cells: stop adding seeds when the
-        # next run (projected from the slowest so far) would blow the budget
-        # (f64 is XLA-emulated on TPU; a 15k-iteration d=2^20 run can cost
-        # minutes per seed).  Budgeted on MEASURED solve walls only — compile
-        # time is excluded (a slow tunnel compile must not cost seeds).
-        if walls and (sum(walls) + max(walls)) > budget_s:
-            break
-        x0 = jnp.asarray(_x0_np(d, seed), jdtype)
-        t0 = time.perf_counter()
-        out = run(x0)
-        float(out.f)                       # end-to-end fence (harness note)
-        wall = time.perf_counter() - t0
-        if compile_s is None:              # first call pays the compile
-            compile_s = wall
+    try:
+        for seed in seeds:
+            # Same budget discipline as the CPU cells: stop adding seeds when
+            # the next run (projected from the slowest so far) would blow the
+            # budget (f64 is XLA-emulated on TPU; a 15k-iteration d=2^20 run
+            # can cost minutes per seed).  Budgeted on MEASURED solve walls
+            # only — compile time is excluded (a slow tunnel compile must not
+            # cost seeds).
+            if walls and (sum(walls) + max(walls)) > budget_s:
+                break
+            x0 = jnp.asarray(_x0_np(d, seed), jdtype)
             t0 = time.perf_counter()
             out = run(x0)
-            float(out.f)
+            float(out.f)                   # end-to-end fence (harness note)
             wall = time.perf_counter() - t0
-        walls.append(wall)
-        iters.append(int(out.k))
-        fs.append(float(out.f))
-        gnorms.append(float(out.g_norm))
-        statuses.append(int(out.status))
+            if compile_s is None:          # first call pays the compile
+                compile_s = wall
+                t0 = time.perf_counter()
+                out = run(x0)
+                float(out.f)
+                wall = time.perf_counter() - t0
+            walls.append(wall)
+            iters.append(int(out.k))
+            fs.append(float(out.f))
+            gnorms.append(float(out.g_norm))
+            statuses.append(int(out.status))
+    finally:
+        # Restore the process-global x64 flag: an interleaved-backends
+        # in-process grid (isolate=False) must not run later "f32" cells
+        # under silently emulated f64.
+        jax.config.update("jax_enable_x64", prev_x64)
     if dtype == "float64":
         label = "tpu-f64-seqcfg"
     else:
@@ -277,10 +285,15 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                 if backend.startswith("tpu") and tpu_timeouts_in_a_row >= 3:
                     cell = {"backend": backend,
                             "skipped": "tunnel circuit breaker"}
-                elif backend.startswith("tpu") and isolate:
+                elif isolate:
+                    # CPU cells are isolated too: native_lbfgs blocks inside
+                    # a C call where SIGALRM cannot fire until it returns —
+                    # only a SIGKILL-able subprocess makes the cell timeout
+                    # real for the slow cells it exists for.
+                    budget = (tpu_budget_s if backend.startswith("tpu")
+                              else cpu_budget_s)
                     cell = _cell_subprocess(problem, d, strategy, backend,
-                                            seeds, tpu_budget_s,
-                                            cell_timeout_s)
+                                            seeds, budget, cell_timeout_s)
                 else:
                     signal.alarm(cell_timeout_s)
                     try:

@@ -125,13 +125,16 @@ def scaling_sweep(problem: str = "rosenbrock", d: int = 1 << 22,
     if device_counts is None:
         device_counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n]
     rows = []
-    base = None
+    base_rate = base_n = None
     for c in device_counts:
         r = bench_sharded(problem, d, iters, cfg, c, dtype,
                           use_pallas=use_pallas)
-        if base is None:
-            base = r["iters_per_s"]
-        r["efficiency"] = r["iters_per_s"] / (base * c)
-        r["speedup"] = r["iters_per_s"] / base
+        if base_rate is None:
+            base_rate, base_n = r["iters_per_s"], c
+        # Relative to the FIRST measured count (usually 1; when d is too
+        # large for one device the baseline is device_counts[0] and the
+        # efficiency denominator scales by c/base_n, not the absolute c).
+        r["speedup"] = r["iters_per_s"] / base_rate
+        r["efficiency"] = r["speedup"] / (c / base_n)
         rows.append(r)
     return rows

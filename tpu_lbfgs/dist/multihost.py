@@ -19,6 +19,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def _multihost_intent() -> Optional[str]:
+    """Environment evidence that this process is PART OF a multi-host job
+    (pod metadata, a configured coordinator, a >1-task launcher).  When such
+    evidence exists, an auto-detection failure is a broken pod bootstrap —
+    not a benign plain-single-host case — and must propagate: swallowing it
+    would silently degrade the job to N independent single-host solves."""
+    import os
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        if os.environ.get(var):
+            return var
+    # Worker-list vars are also set on plain single hosts (axon sets
+    # TPU_WORKER_HOSTNAMES=localhost); only a MULTI-entry list is evidence.
+    for var in ("TPU_PROCESS_ADDRESSES", "TPU_WORKER_HOSTNAMES"):
+        v = os.environ.get(var, "")
+        if len([h for h in v.split(",") if h.strip()]) > 1:
+            return f"{var}={v}"
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        v = os.environ.get(var, "")
+        if v.isdigit() and int(v) > 1:
+            return f"{var}={v}"
+    return None
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
@@ -27,9 +52,11 @@ def initialize(coordinator_address: Optional[str] = None,
     With no arguments, relies on TPU-pod auto-detection via the environment
     (a no-op on a plain single host, where auto-detection finds nothing and
     jax raises about the missing coordinator — that specific case is
-    suppressed).  With explicit coordinator arguments, any failure is REAL
-    (wrong address, port clash, process-count mismatch) and propagates;
-    calling twice is idempotent.
+    suppressed, UNLESS the environment shows this process belongs to a
+    multi-host job, in which case the failure is a real broken bootstrap
+    and propagates).  With explicit coordinator arguments, any failure is
+    REAL (wrong address, port clash, process-count mismatch) and
+    propagates; calling twice is idempotent.
     """
     if jax.distributed.is_initialized():
         return
@@ -50,6 +77,13 @@ def initialize(coordinator_address: Optional[str] = None,
                       # (too-late initialize) and takes the propagating
                       # branch below instead.
                       or "before any jax calls" in msg)
+            intent = _multihost_intent()
+            if benign and intent is not None:
+                raise RuntimeError(
+                    f"multi-host bootstrap failed but the environment says "
+                    f"this process is part of a multi-host job ({intent}); "
+                    f"refusing to silently degrade to an independent "
+                    f"single-host run") from e
             if not benign:
                 raise
         return

@@ -24,6 +24,8 @@ kernels location-aware:
 
 Communication per call: 2 (or 4) boundary scalars each way over ICI plus ONE
 psum of the packed reduction vector — the minimum the chain coupling allows.
+Halo-free problems (quadratic: no neighbour terms) skip the ppermutes
+entirely and pay only the psum.
 """
 from __future__ import annotations
 
@@ -56,6 +58,13 @@ def shard_alignment(n_shards: int) -> int:
     return LANES * SHARD_ALIGN_ROWS * n_shards
 
 
+def _needs_halo(problem: str) -> bool:
+    """Whether the problem's kernels read neighbour elements (chain terms).
+    Halo-free kernels ignore their edge inputs, so the ppermutes would be
+    pure dead ICI latency on the per-iteration critical path."""
+    return TAIL_BODIES[problem][1]
+
+
 def _edge_pair(v_local, axis: str):
     """(prev shard's last element, next shard's first element) via one
     ppermute each way; wraparound values at the global boundary are discarded
@@ -80,8 +89,11 @@ def shardmap_fused_vg(problem: str, mesh: Mesh, n: int,
         d_local = x_local.shape[0]
         br = local_block_rows(d_local // LANES)
         start = lax.axis_index(d_axis) * d_local
-        prev_last, next_first = _edge_pair(x_local, d_axis)
-        edges = jnp.stack([prev_last, next_first])
+        if _needs_halo(problem):
+            prev_last, next_first = _edge_pair(x_local, d_axis)
+            edges = jnp.stack([prev_last, next_first])
+        else:
+            edges = jnp.zeros((2,), x_local.dtype)
         f_part, g_local = local_fused_vg(problem, x_local, n, start,
                                          edges, br)
         return lax.psum(f_part, d_axis), g_local
@@ -108,9 +120,12 @@ def shardmap_fused_tail(problem: str, mesh: Mesh, n: int,
         d_local = x_l.shape[0]
         br = local_block_rows(d_local // LANES)
         start = lax.axis_index(d_axis) * d_local
-        px, nx = _edge_pair(x_l, d_axis)
-        pd, nd = _edge_pair(d_l, d_axis)
-        edges = jnp.stack([px, pd, nx, nd])
+        if _needs_halo(problem):
+            px, nx = _edge_pair(x_l, d_axis)
+            pd, nd = _edge_pair(d_l, d_axis)
+            edges = jnp.stack([px, pd, nx, nd])
+        else:
+            edges = jnp.zeros((4,), x_l.dtype)
         (xnew, f_new, gnew, srow, yrow, sy, yy, gg, dgn, ggn, ygn,
          t1, t2) = _fused_tail_pallas(problem, x_l, d_l, alpha, g_l,
                                       s_h_l, y_h_l, with_matvec,
@@ -155,11 +170,14 @@ def shardmap_multi_phi(problem: str, mesh: Mesh, n: int,
         d_local = x_l.shape[0]
         br = local_block_rows(d_local // LANES)
         start = lax.axis_index(d_axis) * d_local
-        _, nx = _edge_pair(x_l, d_axis)
-        _, nd = _edge_pair(d_l, d_axis)
+        if _needs_halo(problem):
+            _, nx = _edge_pair(x_l, d_axis)
+            _, nd = _edge_pair(d_l, d_axis)
+            edges = jnp.stack([nx, nd])
+        else:
+            edges = jnp.zeros((2,), x_l.dtype)
         phis = _multi_phi_pallas(problem, x_l, d_l, alphas, n=n,
-                                 start=start, edges=jnp.stack([nx, nd]),
-                                 br=br)
+                                 start=start, edges=edges, br=br)
         return lax.psum(phis, d_axis)
 
     return jax.shard_map(impl, mesh=mesh,

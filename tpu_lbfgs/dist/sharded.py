@@ -229,7 +229,9 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     st_sh = state_shardings(mesh, d_axis, batch_axis=batch_axis)
     x_sh = NamedSharding(mesh, P(batch_axis, d_axis))
     x0_batch = jax.device_put(x0_batch, x_sh)
-    res_sh = result_shardings(mesh, d_axis, batch_axis=batch_axis)
+    trace_len = cfg.max_iters if cfg.record_trace else None
+    res_sh = result_shardings(mesh, d_axis, batch_axis=batch_axis,
+                              trace_len=trace_len)
 
     @partial(jax.jit, out_shardings=st_sh)
     def make_states(x0s):
@@ -239,6 +241,10 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     @partial(jax.jit, in_shardings=(st_sh,), out_shardings=res_sh)
     def run(states):
         def one(state):
+            if cfg.record_trace:
+                out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
+                                           fused_tail, phi_batch)
+                return _state_to_result(out, trace)
             out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
                                    phi_batch)
             return _state_to_result(out, None)

@@ -13,6 +13,7 @@ with an explicit schema key, and loadable without JAX.
 from __future__ import annotations
 
 import io as _io
+import json
 import os
 from pathlib import Path
 
@@ -28,10 +29,22 @@ _FIELDS = LBFGSState._fields
 def save_state(path, state: LBFGSState) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    # np.savez writes ml_dtypes extension dtypes (bfloat16 history rings —
+    # the recommended config at giant d) as raw void '|V2', which np.load
+    # hands back as unloadable bytes.  Store them as float32 (an EXACT
+    # upcast; the f32 -> bf16 cast on load restores identical bits) and
+    # record the original dtype per field so resume stays bit-exact.
+    arrays, casts = {}, {}
+    for f in _FIELDS:
+        a = np.asarray(getattr(state, f))
+        if a.dtype.kind == "V":            # ml_dtypes extension (bfloat16)
+            casts[f] = str(a.dtype)
+            a = a.astype(np.float32)
+        arrays[f] = a
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as fh:
-        np.savez(fh, __schema__=np.asarray(_SCHEMA), **arrays)
+        np.savez(fh, __schema__=np.asarray(_SCHEMA),
+                 __casts__=np.asarray(json.dumps(casts)), **arrays)
     os.replace(tmp, path)  # atomic: no torn checkpoints on crash
 
 
@@ -40,10 +53,14 @@ def load_state(path, dtype=None) -> LBFGSState:
         schema = str(z["__schema__"])
         if schema != _SCHEMA:
             raise ValueError(f"unknown checkpoint schema {schema!r}")
+        casts = json.loads(str(z["__casts__"])) if "__casts__" in z else {}
         vals = {}
         for f in _FIELDS:
             a = z[f]
             if dtype is not None and a.dtype.kind == "f":
                 a = a.astype(dtype)
-            vals[f] = jnp.asarray(a)
+            v = jnp.asarray(a)
+            if f in casts and dtype is None:
+                v = v.astype(casts[f])     # exact round-trip (see save_state)
+            vals[f] = v
     return LBFGSState(**vals)
