@@ -40,7 +40,15 @@ import time
 
 # The benched stack, also emitted in the JSON record.
 BENCH_D = 1 << 20
-BENCH_CONFIG = "backtracking/compact_incremental/poly-ls/pallas/m=10"
+
+
+def config_key(cfg) -> str:
+    """Derive the (d, config)-keying string FROM the cfg object so the
+    expected-wall lookup cannot drift from the actually-benched stack."""
+    return (f"{cfg.line_search}/{cfg.direction}"
+            + ("/poly-ls" if cfg.ls_eval == "polynomial" else "")
+            + ("/pallas" if cfg.use_pallas else "")
+            + f"/m={cfg.m}")
 
 # Expected healthy wall for the 1000-iteration timed run, KEYED on
 # (d, config) so a change to either cannot silently turn the degradation
@@ -52,7 +60,6 @@ BENCH_CONFIG = "backtracking/compact_incremental/poly-ls/pallas/m=10"
 EXPECTED_WALLS_S = {
     (1 << 20, "backtracking/compact_incremental/poly-ls/pallas/m=10"): 0.13,
 }
-EXPECTED_WALL_S = EXPECTED_WALLS_S.get((BENCH_D, BENCH_CONFIG))
 # A best-of-repeats 3x slower than expected triggers a cool-down + retry.
 # Generous on purpose: genuine regressions of < 3x are reported as-is, not
 # retried away.
@@ -145,6 +152,8 @@ def main():
     cfg = LBFGSConfig(line_search="backtracking",
                       direction="compact_incremental", m=10,
                       use_pallas=True, ls_eval="polynomial")
+    bench_config = config_key(cfg)
+    EXPECTED_WALL_S = EXPECTED_WALLS_S.get((d, bench_config))
     TELEMETRY["expected_wall_s"] = EXPECTED_WALL_S
 
     rounds = []
@@ -191,7 +200,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
         "tpu_wall_s_1000it": round(tpu.wall_s, 4),
-        "config": BENCH_CONFIG,
+        "config": bench_config,
         **TELEMETRY,
     }))
 

@@ -79,3 +79,28 @@ def test_shard_mode_forwards_problem_to_pallas_path():
     assert "falling back to the auto-partitioned jnp path" not in out.stderr
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["results"][0]["status"] in ("converged", "max_iters")
+
+
+def test_native_backend_rejects_unsupported_choices():
+    """Unsupported problem/line-search for the C++ oracle fail with a clear
+    parser error, not a mid-run KeyError."""
+    out = subprocess.run(BASE + ["--backend", "native", "--problem", "sphere",
+                                 "--dim", "16"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "supports problems" in out.stderr
+    out = subprocess.run(BASE + ["--backend", "native", "--line-search",
+                                 "backtracking_speculative", "--dim", "16"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "supports line searches" in out.stderr
+
+
+def test_batch_poly_ls():
+    """Regression: --batch with --poly-ls crashed (dir_poly never forwarded
+    to vmap_minimize)."""
+    out = run_cli("--batch", "4", "--dim", "64", "--problem",
+                  "coupled_quadratic", "--poly-ls", "--max-iters", "100",
+                  "--tol", "1e-6", "--json")
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["results"][0]["converged"] == 4

@@ -76,3 +76,31 @@ def test_profile_solve_and_trace(tmp_path):
     # A trace directory is produced when the backend supports profiling;
     # the helper must not fail either way.
     assert os.path.isdir(tmp_path) and out["trace_dir"].endswith("trace")
+
+
+def test_scipy_unknown_options_warned_not_crash():
+    """Standard SciPy L-BFGS-B options (ftol/maxfun/maxls/eps/disp) must not
+    crash a drop-in migration — warn and ignore, like SciPy itself."""
+    import warnings
+    p = get_problem("coupled_quadratic")
+    x0 = np.full(32, 1.5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = sp_minimize(p.f, x0, jac=p.grad, method="L-BFGS-B",
+                          options={"maxiter": 200, "ftol": 1e-9,
+                                   "maxfun": 15000, "disp": False})
+    assert res.success
+    assert any("ftol" in str(x.message) for x in w)
+
+
+def test_scipy_jac_true_returns_pair():
+    """SciPy's jac=True idiom: fun returns (f, grad)."""
+    p = get_problem("coupled_quadratic")
+
+    def fun_and_grad(x):
+        return p.f(x), p.grad(x)
+
+    res = sp_minimize(fun_and_grad, np.full(32, 1.5), jac=True,
+                      options={"maxiter": 200})
+    assert res.success
+    assert res.fun < 1e-8

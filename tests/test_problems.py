@@ -51,3 +51,16 @@ def test_vmap_and_jit():
     assert vals.shape == (8,)
     grads = jax.jit(jax.vmap(p.grad))(xs)
     assert grads.shape == (8, 32)
+
+
+def test_auto_with_matvec_dtype_forms_agree():
+    """Regression: the string compare 'history_dtype == \"bfloat16\"' sized
+    the CLASS form (jnp.bfloat16) as 4 bytes, flipping the measured
+    residency rule at boundary sizes."""
+    import jax.numpy as jnp
+    from tpu_lbfgs.problems.suite import auto_with_matvec
+    for d in (1 << 20, 1 << 21, 1 << 22, 1 << 26):
+        assert auto_with_matvec(10, d, "bfloat16") \
+            == auto_with_matvec(10, d, jnp.bfloat16)
+    # f64 rings are 8 bytes, not 4: streams at half the f32-assumed size
+    assert auto_with_matvec(10, (1 << 20) * 7, jnp.float64)

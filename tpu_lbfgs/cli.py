@@ -90,7 +90,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if args.backend == "native":
+        # Validate against what the C++ oracle supports BEFORE running —
+        # otherwise unsupported choices surface as raw KeyErrors mid-run.
+        from .native.binding import _LS_IDS, PROBLEM_IDS
+        if args.problem not in PROBLEM_IDS:
+            ap.error(f"--backend native supports problems "
+                     f"{sorted(PROBLEM_IDS)}, not {args.problem!r}")
+        if args.line_search not in _LS_IDS:
+            ap.error(f"--backend native supports line searches "
+                     f"{sorted(_LS_IDS)}, not {args.line_search!r}")
 
     import jax
 
@@ -108,13 +119,42 @@ def main(argv=None) -> int:
         m=args.history, max_iters=args.max_iters, tol=args.tol,
         line_search=args.line_search, direction=args.direction,
         fidelity=args.fidelity, c1=args.c1, c2=args.c2,
-        use_pallas=args.pallas, record_trace=args.trace or args.verbose,
+        use_pallas=args.pallas,
+        # --verbose replays the trace, which only the single-instance jax
+        # branch prints; forcing the (all-max_iters) traced scan for batch /
+        # native runs would cost the full-horizon scan for no output.
+        record_trace=args.trace or (args.verbose and not args.batch
+                                    and args.backend == "jax"),
         ls_eval="polynomial" if args.poly_ls else "direct",
         history_dtype=args.history_dtype)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
     p = get_problem(args.problem)
+
+    # Fast-path builders hoisted out of the seed loop: _compiled_run caches
+    # on callable IDENTITY, so per-seed fresh closures would force a full
+    # retrace (through the axon tunnel, a multi-minute recompile) per seed.
+    dir_poly = p.dir_poly if args.poly_ls else None
+    vg = fused_tail = phi_batch = None
+    if args.pallas and not args.shard and not args.batch \
+            and args.backend == "jax":
+        # Single-device fused kernels.  The --shard path instead passes
+        # problem= so sharded_minimize builds the shard-composable kernels
+        # itself — injecting the single-device Pallas vg into an
+        # auto-partitioned program would force XLA to gather the full
+        # vector around it.
+        from .core.solver import resolve_history_dtype
+        from .problems.suite import fused_tail_for, multi_phi_for
+        vg = fused_value_and_grad(args.problem, use_pallas=True)
+        fused_tail = fused_tail_for(
+            args.problem, with_matvec="auto", use_pallas=True,
+            m=cfg.m, d=args.dim,
+            history_dtype=resolve_history_dtype(
+                cfg.history_dtype, cfg.m, args.dim, dtype))
+        if cfg.line_search == "backtracking_speculative" \
+                and cfg.ls_eval == "direct":
+            phi_batch = multi_phi_for(args.problem, use_pallas=True)
 
     results = []
     for seed in args.seeds:
@@ -134,7 +174,8 @@ def main(argv=None) -> int:
             from .batch import vmap_minimize
             x0s = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
                                           (args.batch, args.dim)), dtype)
-            res = vmap_minimize(p.f, x0s, cfg, grad=p.grad)
+            res = vmap_minimize(p.f, x0s, cfg, grad=p.grad,
+                                dir_poly=p.dir_poly if args.poly_ls else None)
             wall = time.perf_counter() - t0
             st = np.asarray(res.status)
             rec = {"seed": seed, "batch": args.batch,
@@ -146,25 +187,6 @@ def main(argv=None) -> int:
         else:
             x0 = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
                                          args.dim), dtype)
-            dir_poly = p.dir_poly if args.poly_ls else None
-            vg = fused_tail = phi_batch = None
-            if args.pallas and not args.shard:
-                # Single-device fused kernels.  The --shard path instead
-                # passes problem= so sharded_minimize builds the
-                # shard-composable kernels itself — injecting the
-                # single-device Pallas vg into an auto-partitioned program
-                # would force XLA to gather the full vector around it.
-                from .core.solver import resolve_history_dtype
-                from .problems.suite import fused_tail_for, multi_phi_for
-                vg = fused_value_and_grad(args.problem, use_pallas=True)
-                fused_tail = fused_tail_for(
-                    args.problem, with_matvec="auto", use_pallas=True,
-                    m=cfg.m, d=args.dim,
-                    history_dtype=resolve_history_dtype(
-                        cfg.history_dtype, cfg.m, args.dim, dtype))
-                if cfg.line_search == "backtracking_speculative" \
-                        and cfg.ls_eval == "direct":
-                    phi_batch = multi_phi_for(args.problem, use_pallas=True)
             if args.shard:
                 from .dist import make_mesh, sharded_minimize
                 res = sharded_minimize(p.f, x0, cfg, mesh=make_mesh(),

@@ -41,7 +41,9 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+# Single-sourced from types: the (R, 128) history layout the state container
+# builds MUST agree with the kernels' lane width.
+from ..types import LANES  # noqa: E402
 # Rows per grid step for the streaming kernels; 512*128*4B = 256 KiB per
 # streamed buffer.  Env-overridable for block-size sweeps on real hardware
 # (set before import; kernels read it at trace time).

@@ -237,7 +237,10 @@ def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
     resident."""
     from ..utils.roofline import VMEM_RESIDENT_BYTES
 
-    itemsize = 2 if history_dtype == "bfloat16" else 4
+    # jnp.dtype normalizes both spellings ("bfloat16" and jnp.bfloat16 — the
+    # string compare alone mis-sized the class form as 4 bytes).  None means
+    # history in the input dtype; the Pallas tail is f32-only, so 4 bytes.
+    itemsize = 4 if history_dtype is None else jnp.dtype(history_dtype).itemsize
     return 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
 
 

@@ -74,15 +74,45 @@ def minimize(fun: Callable, x0, args=(), method: str = "tpu-lbfgs",
             line_search=opts.pop("linesearch", "backtracking"),
             fidelity=opts.pop("fidelity", "fixed"),
         )
-        cfg_kw.update(opts)           # any remaining LBFGSConfig field
+        # Remaining keys: forward real LBFGSConfig fields; warn-and-ignore
+        # anything else (SciPy's own behavior for unknown options) so
+        # standard L-BFGS-B options like ftol/maxfun/maxls/eps/disp don't
+        # crash a drop-in migration.
+        import dataclasses
+        import warnings
+
+        known = {f.name for f in dataclasses.fields(LBFGSConfig)}
+        unknown = sorted(k for k in opts if k not in known)
+        if unknown:
+            warnings.warn(
+                f"tpu-lbfgs ignores unsupported options: {unknown} "
+                f"(no L-BFGS-B bound/ftol semantics — plain L-BFGS, "
+                f"gradient-norm stopping)", RuntimeWarning, stacklevel=2)
+        cfg_kw.update({k: v for k, v in opts.items() if k in known})
         config = LBFGSConfig(**cfg_kw)
 
-    if args:
-        base_f, base_j = fun, jac
-        fun = lambda x: base_f(x, *args)
-        jac = (lambda x: base_j(x, *args)) if base_j else None
+    # SciPy's jac=True idiom: fun returns (f, grad).  jac=False means
+    # finite differences in SciPy; here jax.grad (exact) is the equivalent.
+    value_and_grad = None
+    if jac is True:
+        value_and_grad, fun, jac = fun, None, None
+    elif jac is False:
+        jac = None
 
-    res = _minimize(fun, jnp.asarray(x0), config, grad=jac)
+    if args:
+        if value_and_grad is not None:
+            base_vg = value_and_grad
+            value_and_grad = lambda x: base_vg(x, *args)
+        else:
+            base_f, base_j = fun, jac
+            fun = lambda x: base_f(x, *args)
+            jac = (lambda x: base_j(x, *args)) if base_j else None
+
+    if value_and_grad is not None and fun is None:
+        fun = lambda x: value_and_grad(x)[0]
+
+    res = _minimize(fun, jnp.asarray(x0), config, grad=jac,
+                    value_and_grad=value_and_grad)
     status = int(res.status)
     return OptimizeResult(
         x=np.asarray(res.x),

@@ -111,8 +111,9 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
         hw = jnp.dtype(hd).itemsize / dtype_bytes
     if hist_resident is None:
         hist_resident = 2 * m * d * dtype_bytes * hw < VMEM_RESIDENT_BYTES
+    hw_write = hw     # ring-row writes stream regardless of residency
     if hist_resident:
-        hw = 0.0   # resident history: reads are free; row writes handled below
+        hw = 0.0      # resident history: READS are free
 
     if cfg.direction == "two_loop":
         # per pair, both loops: read s_i, y_i (history) + read/write q or r.
@@ -144,13 +145,13 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     if fused_tail:
         # One stream: read x, d, g; write x_new, g_new, s_row, y_row
         # (rows in history dtype); f/grad computed in-kernel.
-        p_tail = 3.0 + 2.0 + 2.0 * hw
+        p_tail = 3.0 + 2.0 + 2.0 * hw_write
         p_vg = 0.0
-        p_ring = 4.0 * hw        # conditional row select + write
+        p_ring = 4.0 * hw_write  # conditional row select + write
     else:
         # x_new compute (read x, d, write x_new), vg at x_new, fused
         # iteration_tail (read x, d, g, g_new; write x_new, s, y).
         p_tail = 3.0 + 7.0
         p_vg = 2.0 + obj_passes
-        p_ring = 4.0 * hw
+        p_ring = 4.0 * hw_write
     return TrafficModel(p_dir, p_ls, p_tail + p_ring, p_vg, d, dtype_bytes)
