@@ -104,3 +104,16 @@ def test_scipy_jac_true_returns_pair():
                       options={"maxiter": 200})
     assert res.success
     assert res.fun < 1e-8
+
+
+def test_scipy_jac_string_spec_uses_autodiff():
+    """SciPy's finite-difference jac specs ('2-point', '3-point', 'cs') must
+    not reach the solver as a callable — warn and use exact jax.grad."""
+    import warnings
+    p = get_problem("coupled_quadratic")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = sp_minimize(p.f, np.full(32, 1.5), jac="2-point",
+                          options={"maxiter": 200})
+    assert res.success
+    assert any("2-point" in str(x.message) for x in w)

@@ -192,6 +192,21 @@ def test_scaling_sweep_on_virtual_mesh():
     assert rows[0]["efficiency"] == 1.0
 
 
+def test_bench_sharded_explicit_pallas_unsupported_problem_falls_back():
+    """use_pallas=True for a problem without shard-composable kernels (or a
+    non-f32 dtype) must warn and bench the jnp-shard path, not KeyError
+    inside shardmap_fused_vg."""
+    import jax.numpy as jnp
+
+    from tpu_lbfgs.bench.scaling import bench_sharded
+    cfg = LBFGSConfig(line_search="backtracking", direction="compact")
+    with pytest.warns(RuntimeWarning, match="no sharded Pallas kernels"):
+        row = bench_sharded("sphere", d=1024, iters=3, cfg=cfg, n_devices=2,
+                            dtype=jnp.float32, repeats=1, use_pallas=True)
+    assert row["stack"] == "jnp-shard"
+    assert np.isfinite(row["final_f"])
+
+
 @pytest.mark.parametrize("problem", ["rosenbrock", "coupled_quadratic",
                                      "quadratic"])
 def test_shardmap_vg_matches_reference(mesh, problem):

@@ -107,9 +107,11 @@ def test_initialize_raises_when_pod_env_present(monkeypatch):
     with pytest.raises(RuntimeError, match="multi-host job"):
         multihost.initialize()
     monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    # Generic launcher-size vars prove multiple TASKS, not pod intent (an
+    # array job of independent solves sets them too): warn, don't raise.
     monkeypatch.setenv("SLURM_NTASKS", "4")
-    with pytest.raises(RuntimeError, match="SLURM_NTASKS"):
+    with pytest.warns(RuntimeWarning, match="SLURM_NTASKS"):
         multihost.initialize()
-    # without the evidence the same failure stays benign
+    # without the evidence the same failure stays benign and silent
     monkeypatch.setenv("SLURM_NTASKS", "1")
     multihost.initialize()

@@ -139,3 +139,20 @@ def test_quick_grid_has_no_f64_probe_and_speedups_skip_failed_cells(tmp_path):
         # provenance matters here)
     # converged-at-1-iteration quadratic cells are summarized, not dropped
     assert len(report["per_iteration_speedups"]) == 4
+
+
+def test_cell_ran_requires_every_seed_to_iterate():
+    """iters_per_s is a mean over ALL seeds: a cell where one seed hit
+    max_iters but the rest failed at iteration 1 would publish a ratio
+    diluted by dispatch-dominated walls — _cell_ran excludes it."""
+    from tpu_lbfgs.bench.reference_protocol import _cell_ran
+
+    good = {"iters_per_s": 100.0, "statuses": ["converged", "max_iters"]}
+    mixed = {"iters_per_s": 100.0,
+             "statuses": ["line_search_failed"] * 7 + ["max_iters"]}
+    empty = {"iters_per_s": 100.0, "statuses": []}
+    skipped = {"skipped": "tunnel circuit breaker"}
+    assert _cell_ran(good)
+    assert not _cell_ran(mixed)
+    assert not _cell_ran(empty)
+    assert not _cell_ran(skipped)

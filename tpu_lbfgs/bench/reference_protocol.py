@@ -250,6 +250,18 @@ def _summarize(backend, walls, iters, fs, gnorms, statuses, n_seeds) -> dict:
     }
 
 
+def _cell_ran(c: dict) -> bool:
+    """Whether a grid cell's iters_per_s is a REAL iteration rate, usable in
+    the per-iteration speedup summary.  Keyed on STATUS, not iteration count
+    (a quadratic legitimately converging at 1 iteration is a real rate), and
+    EVERY seed must have iterated: iters_per_s is a mean over all seeds, so
+    one max_iters seed among seven failed-at-iteration-1 seeds would publish
+    a ratio diluted by dispatch-dominated walls."""
+    statuses = c.get("statuses", ())
+    return bool(c.get("iters_per_s") and statuses
+                and all(s in ("converged", "max_iters") for s in statuses))
+
+
 def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                  seeds=REFERENCE_SEEDS, cpu: bool = True, tpu: bool = True,
                  cpu_budget_s: float = 600.0, tpu_budget_s: float = 600.0,
@@ -334,16 +346,7 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # (wall ratios would confound tolerance differences — the f32 cells stop
     # at the GPU tol 1e-1, the oracle at 1e-8; per-iteration work is the
     # comparable unit, as the fixed-iteration harness docstring argues).
-    # Rate ratios are only meaningful for cells that actually ITERATED: a
-    # line_search_failed-at-iteration-1 cell has a truthy iters_per_s
-    # (1 iter / dispatch wall) that would produce a bogus ratio.  Keyed on
-    # STATUS, not iteration count — a quadratic legitimately converging at
-    # 1 iteration is a real rate.
-    def _ran(c):
-        return (c.get("iters_per_s")
-                and any(s in ("converged", "max_iters")
-                        for s in c.get("statuses", ())))
-
+    _ran = _cell_ran
     speedups = []
     for d in dims:
         for label, _ in TABLE_I_STRATEGIES:
@@ -371,7 +374,11 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # isolate=False), skipped in --quick smoke runs, and skipped when the
     # circuit breaker already concluded the tunnel is wedged: the probe's
     # generous timeout (>=1800s) would otherwise block against a dead tunnel.
-    if tpu and isolate and not quick and tpu_timeouts_in_a_row < 3:
+    # ... and skipped when the f64 grid already ran (tpu_f64=True measures
+    # every tpu-f64-seqcfg cell including this one — re-probing would burn
+    # an up-to-1800s subprocess wait on data already in `cells`).
+    if tpu and isolate and not quick and not tpu_f64 \
+            and tpu_timeouts_in_a_row < 3:
         t0 = time.perf_counter()
         f64_probe = _cell_subprocess("quadratic", 10_000, "backtracking",
                                      "tpu-f64", seeds[:1], tpu_budget_s,

@@ -53,6 +53,18 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
         use_pallas = (jax.default_backend() == "tpu"
                       and dtype == jnp.float32
                       and problem in SHARDED_PALLAS_PROBLEMS)
+    elif use_pallas and n_devices > 1 and (
+            problem not in SHARDED_PALLAS_PROBLEMS or dtype != jnp.float32):
+        # Explicit use_pallas=True for a problem without shard-composable
+        # kernels (or a non-f32 dtype the kernels don't take): warn and run
+        # the jnp-shard path rather than KeyError inside shardmap_fused_vg.
+        import warnings
+
+        warnings.warn(
+            f"no sharded Pallas kernels for problem={problem!r} "
+            f"dtype={jnp.dtype(dtype).name}; benchmarking the jnp-shard "
+            f"path", RuntimeWarning, stacklevel=2)
+        use_pallas = False
     devices = jax.devices()[:n_devices]
     mesh = make_mesh(devices)
     cfg = cfg.replace(max_iters=iters, tol=0.0,

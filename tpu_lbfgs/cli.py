@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--history-dtype", default=None,
-                    choices=[None, "bfloat16", "auto"],
+                    choices=[None, "bfloat16", "float32", "auto"],
                     help="down-cast (m,d) history storage (halves direction "
                          "HBM traffic; slightly approximate H); 'auto' = "
                          "f32 while VMEM-resident, bf16 when it streams "

@@ -53,11 +53,11 @@ def resolve_history_dtype(history_dtype, m: int, d: int, dtype) -> object:
     inputs always keep full precision."""
     if history_dtype != "auto":
         return history_dtype
-    from ..utils.roofline import VMEM_RESIDENT_BYTES
+    from ..utils.roofline import history_streams
 
     dtype = jnp.dtype(dtype)
-    resident = 2 * m * d * dtype.itemsize < VMEM_RESIDENT_BYTES
-    return "bfloat16" if (not resident and dtype == jnp.float32) else None
+    streams = history_streams(m, d, dtype.itemsize)
+    return "bfloat16" if (streams and dtype == jnp.float32) else None
 
 
 def init_state(vg: ValGradFn, x0: Array, m: int,

@@ -37,6 +37,17 @@ def _multihost_intent() -> Optional[str]:
         v = os.environ.get(var, "")
         if len([h for h in v.split(",") if h.strip()]) > 1:
             return f"{var}={v}"
+    return None
+
+
+def _launcher_size_hint() -> Optional[str]:
+    """Generic launcher-size vars (SLURM/MPI/PMI task counts).  These prove
+    the LAUNCHER started multiple tasks, not that the tasks intend a shared
+    JAX pod — an embarrassingly-parallel array job of N independent
+    single-host solves sets them too.  Evidence for a WARNING, never for
+    failing the run."""
+    import os
+
     for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
         v = os.environ.get(var, "")
         if v.isdigit() and int(v) > 1:
@@ -86,6 +97,21 @@ def initialize(coordinator_address: Optional[str] = None,
                     f"single-host run") from e
             if not benign:
                 raise
+            hint = _launcher_size_hint()
+            if hint is not None:
+                # Could be an N-task pod job missing its coordinator vars OR
+                # an intentional array job of independent solves — warn, do
+                # not fail (the pod case also sets coordinator/worker-list
+                # vars, which DO fail above).
+                import warnings
+
+                warnings.warn(
+                    f"jax.distributed auto-detection found no coordinator "
+                    f"but {hint} says the launcher started multiple tasks; "
+                    f"continuing as an independent single-host run (pass "
+                    f"explicit coordinator_address/num_processes/process_id "
+                    f"if these tasks should form one pod)", RuntimeWarning,
+                    stacklevel=2)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -235,13 +235,13 @@ def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
     reads it for free and wins (PERFORMANCE.md "VMEM residency").  Uses the
     RESOLVED history dtype — an auto-selected bf16 ring can itself be
     resident."""
-    from ..utils.roofline import VMEM_RESIDENT_BYTES
+    from ..utils.roofline import history_streams
 
     # jnp.dtype normalizes both spellings ("bfloat16" and jnp.bfloat16 — the
     # string compare alone mis-sized the class form as 4 bytes).  None means
     # history in the input dtype; the Pallas tail is f32-only, so 4 bytes.
     itemsize = 4 if history_dtype is None else jnp.dtype(history_dtype).itemsize
-    return 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
+    return history_streams(m, d, itemsize)
 
 
 def fused_tail_for(name: str, with_matvec="auto",

@@ -98,6 +98,15 @@ def minimize(fun: Callable, x0, args=(), method: str = "tpu-lbfgs",
         value_and_grad, fun, jac = fun, None, None
     elif jac is False:
         jac = None
+    elif isinstance(jac, str):
+        # SciPy's finite-difference specs ('2-point', '3-point', 'cs'):
+        # exact autodiff is the equivalent here, same as jac=None/False.
+        import warnings
+
+        warnings.warn(
+            f"jac={jac!r} requests finite differences; using exact jax.grad "
+            f"instead", RuntimeWarning, stacklevel=2)
+        jac = None
 
     if args:
         if value_and_grad is not None:

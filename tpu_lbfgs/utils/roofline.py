@@ -73,6 +73,15 @@ class TrafficModel:
 VMEM_RESIDENT_BYTES = 100e6
 
 
+def history_streams(m: int, d: int, itemsize: float = 4) -> bool:
+    """True when the (2, m, d) history ring exceeds the VMEM-resident bound
+    and must stream from HBM.  THE single source of the measured residency
+    rule — history_dtype="auto" (core.solver.resolve_history_dtype),
+    with_matvec="auto" (problems.suite.auto_with_matvec) and the traffic
+    model below all key on this predicate."""
+    return 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
+
+
 def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                   avg_ls_trials: float = 2.2,
                   obj_passes: float = 1.0,
@@ -104,13 +113,13 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
         # Same rule resolve_history_dtype applies: f32 while resident, bf16
         # streaming — but ONLY for f32 inputs; f64 always keeps full
         # precision (parity paths), so its history weight stays 1.0.
-        streams = 2 * m * d * dtype_bytes >= VMEM_RESIDENT_BYTES
+        streams = history_streams(m, d, dtype_bytes)
         hd = "bfloat16" if (streams and dtype_bytes == 4) else None
     if hd is not None:
         import jax.numpy as jnp
         hw = jnp.dtype(hd).itemsize / dtype_bytes
     if hist_resident is None:
-        hist_resident = 2 * m * d * dtype_bytes * hw < VMEM_RESIDENT_BYTES
+        hist_resident = not history_streams(m, d, dtype_bytes * hw)
     hw_write = hw     # ring-row writes stream regardless of residency
     if hist_resident:
         hw = 0.0      # resident history: READS are free
