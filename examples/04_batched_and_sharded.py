@@ -30,9 +30,14 @@ cfg = tl.LBFGSConfig(line_search="backtracking",
                      max_iters=500, tol=1e-4)
 
 # --- 1. batch of independent instances (one jitted program, all lanes) ------
-B, d = 256, 512
+# The BASELINE config-4 shape: 4096 independent d=1000 instances per chip.
+# (Rosenbrock from random starts needs thousands of iterations per lane —
+# the reference's own notebook shows 18k+ — so the batch demo uses the
+# coupled quadratic, which converges in ~12.)
+pq = tl.get_problem("coupled_quadratic")
+B, d = 4096, 1000
 x0s = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (B, d)), jnp.float32)
-res = vmap_minimize(p.f, x0s, cfg, grad=p.grad)
+res = vmap_minimize(pq.f, x0s, cfg, grad=pq.grad)
 conv = int(jnp.sum(res.status == tl.Status.CONVERGED))
 print(f"batch: {conv}/{B} converged, "
       f"median iters = {int(jnp.median(res.iterations))}")

@@ -11,14 +11,17 @@ The production split: let the TPU do ~100k fast f32 iterations down to
 L-BFGS's superlinear local convergence needs only ~10 double-precision
 iterations from there (~1 s at d = 2^20).
 
-Run:  python examples/06_precision_refinement.py     (sized for TPU; on CPU
-pass a smaller d)
+Run:  python examples/06_precision_refinement.py [d]   (defaults to 2^20 on
+TPU, 2^14 elsewhere — the coarse stage needs ~100k iterations at 2^20)
 """
 import sys
 
+import jax
+
 from tpu_lbfgs.bench.harness import time_to_tolerance_refined
 
-d = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+default_d = 1 << 20 if jax.default_backend() == "tpu" else 1 << 14
+d = int(sys.argv[1]) if len(sys.argv) > 1 else default_d
 
 r = time_to_tolerance_refined(problem="rosenbrock", d=d, coarse_tol=1e-3,
                               tol=1e-5, refine_backend="native")
