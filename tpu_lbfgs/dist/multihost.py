@@ -57,7 +57,8 @@ def _launcher_size_hint() -> Optional[str]:
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               cpu_collectives: Optional[str] = None) -> None:
     """Initialize the multi-host runtime.
 
     With no arguments, relies on TPU-pod auto-detection via the environment
@@ -68,9 +69,17 @@ def initialize(coordinator_address: Optional[str] = None,
     and propagates).  With explicit coordinator arguments, any failure is
     REAL (wrong address, port clash, process-count mismatch) and
     propagates; calling twice is idempotent.
+
+    cpu_collectives: cross-process collectives implementation for the CPU
+    backend ("gloo" or "mpi") — required for a multi-process CPU job (TPU
+    pods use ICI/DCN natively and ignore this).  Exercised end-to-end by
+    scripts/run_multiproc.py.
     """
     if jax.distributed.is_initialized():
         return
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
