@@ -207,6 +207,36 @@ def test_bench_sharded_explicit_pallas_unsupported_problem_falls_back():
     assert np.isfinite(row["final_f"])
 
 
+def test_bench_sharded_single_device_pallas_unsupported_warns():
+    """n_devices == 1 with use_pallas=True for a non-FUSED_VG problem: the
+    fused helpers silently fall back to jnp, so the row must warn and be
+    labeled jnp — not report the fallback as 'pallas-unsharded' (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from tpu_lbfgs.bench.scaling import bench_sharded
+    cfg = LBFGSConfig(line_search="backtracking", direction="compact")
+    with pytest.warns(RuntimeWarning, match="no Pallas kernels"):
+        row = bench_sharded("sphere", d=1024, iters=3, cfg=cfg, n_devices=1,
+                            dtype=jnp.float32, repeats=1, use_pallas=True)
+    assert row["stack"] == "jnp-shard"
+    assert np.isfinite(row["final_f"])
+
+
+def test_bench_sharded_with_matvec_stack_label():
+    """The matvec winner config is reachable and labeled from bench_sharded
+    on both the sharded and single-device stacks."""
+    import jax.numpy as jnp
+
+    from tpu_lbfgs.bench.scaling import bench_sharded
+    cfg = LBFGSConfig(line_search="backtracking",
+                      direction="compact_incremental", ls_eval="polynomial")
+    row = bench_sharded("coupled_quadratic", d=128 * 8 * 8 * 2, iters=4,
+                        cfg=cfg, n_devices=8, dtype=jnp.float32, repeats=1,
+                        use_pallas=True, with_matvec=True)
+    assert row["stack"] == "pallas-shard+matvec"
+    assert np.isfinite(row["final_f"])
+
+
 @pytest.mark.parametrize("problem", ["rosenbrock", "coupled_quadratic",
                                      "quadratic"])
 def test_shardmap_vg_matches_reference(mesh, problem):

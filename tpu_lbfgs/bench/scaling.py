@@ -39,13 +39,18 @@ from ..problems import get_problem
 def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
                   n_devices: int, dtype=jnp.float32, repeats: int = 3,
                   seed: int = 42,
-                  use_pallas: Optional[bool] = None) -> dict:
+                  use_pallas: Optional[bool] = None,
+                  with_matvec: bool = False) -> dict:
     """Fixed-iteration throughput with the vector sharded over n_devices.
 
     use_pallas=None selects the fast stack automatically: the shard-map
     Pallas kernels on a real TPU backend, the jnp-shard path elsewhere
     (interpret-mode Pallas is not a benchmark).  n_devices == 1 runs the
     same stacks unsharded (the scaling baseline).
+
+    with_matvec: compute the incremental-products history matvecs inside the
+    fused tail, finished by the packed psum — the measured giant-d winner
+    configuration (PERFORMANCE.md).  Recorded in the ``stack`` label.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -53,17 +58,20 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
         use_pallas = (jax.default_backend() == "tpu"
                       and dtype == jnp.float32
                       and problem in SHARDED_PALLAS_PROBLEMS)
-    elif use_pallas and n_devices > 1 and (
+    elif use_pallas and (
             problem not in SHARDED_PALLAS_PROBLEMS or dtype != jnp.float32):
         # Explicit use_pallas=True for a problem without shard-composable
         # kernels (or a non-f32 dtype the kernels don't take): warn and run
-        # the jnp-shard path rather than KeyError inside shardmap_fused_vg.
+        # the jnp path rather than KeyError inside shardmap_fused_vg — and
+        # for n_devices == 1 rather than silently benchmarking the jnp
+        # fallback under a 'pallas-unsharded' label (the single-device fused
+        # helpers fall back for exactly the same problem set).
         import warnings
 
         warnings.warn(
-            f"no sharded Pallas kernels for problem={problem!r} "
-            f"dtype={jnp.dtype(dtype).name}; benchmarking the jnp-shard "
-            f"path", RuntimeWarning, stacklevel=2)
+            f"no {'sharded ' if n_devices > 1 else ''}Pallas kernels for "
+            f"problem={problem!r} dtype={jnp.dtype(dtype).name}; "
+            f"benchmarking the jnp path", RuntimeWarning, stacklevel=2)
         use_pallas = False
     devices = jax.devices()[:n_devices]
     mesh = make_mesh(devices)
@@ -82,8 +90,8 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
             p.f, vg, x0, n_devices, mult=mult, dir_poly=dir_poly)
         vg = shardmap_fused_vg(problem, mesh, d_orig)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig,
-                                         with_matvec=False)
-        stack = "pallas-shard"
+                                         with_matvec=with_matvec)
+        stack = "pallas-shard+matvec" if with_matvec else "pallas-shard"
     elif use_pallas:
         # n_devices == 1: the unsharded fast stack on the ORIGINAL d.  The
         # single-device fused kernels handle arbitrary d internally; padding
@@ -93,9 +101,10 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
 
         f = p.f
         vg = fused_value_and_grad(problem, use_pallas=True)
-        fused_tail = fused_tail_for(problem, with_matvec=False,
+        fused_tail = fused_tail_for(problem, with_matvec=with_matvec,
                                     use_pallas=True)
-        stack = "pallas-unsharded"
+        stack = ("pallas-unsharded+matvec" if with_matvec
+                 else "pallas-unsharded")
     else:
         f, vg, x0, d_orig, dir_poly = _pad_for_mesh(
             p.f, vg, x0, n_devices, dir_poly=dir_poly)
@@ -128,7 +137,8 @@ def scaling_sweep(problem: str = "rosenbrock", d: int = 1 << 22,
                   iters: int = 50, cfg: Optional[LBFGSConfig] = None,
                   device_counts: Optional[Sequence[int]] = None,
                   dtype=jnp.float32,
-                  use_pallas: Optional[bool] = None) -> list[dict]:
+                  use_pallas: Optional[bool] = None,
+                  with_matvec: bool = False) -> list[dict]:
     """Strong-scaling sweep over shard counts; adds efficiency vs 1 device."""
     cfg = cfg or LBFGSConfig(line_search="backtracking",
                              direction="compact_incremental",
@@ -140,7 +150,7 @@ def scaling_sweep(problem: str = "rosenbrock", d: int = 1 << 22,
     base_rate = base_n = None
     for c in device_counts:
         r = bench_sharded(problem, d, iters, cfg, c, dtype,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, with_matvec=with_matvec)
         if base_rate is None:
             base_rate, base_n = r["iters_per_s"], c
         # Relative to the FIRST measured count (usually 1; when d is too

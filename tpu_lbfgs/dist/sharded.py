@@ -25,6 +25,7 @@ from ..core.solver import (
     _state_to_result,
     init_state,
     make_value_and_grad,
+    resolve_history_dtype,
     solve_from_state,
 )
 from ..types import SolveResult
@@ -84,10 +85,34 @@ def _pad_for_mesh(f, vg, x0, n_shards: int, mult: Optional[int] = None,
     return f_p, vg_p, x0p, d, dir_poly_p
 
 
+def _resolve_shard_local(cfg: LBFGSConfig, d_pad: int, n_shards: int,
+                         dtype, with_matvec):
+    """Resolve history_dtype="auto" and with_matvec="auto" on the PER-SHARD
+    problem size d_local = d_pad / n_shards: VMEM residency is a per-device
+    property (each device holds its own (2, m, d_local) ring slice), so the
+    measured rules (PERFORMANCE.md giant table: bf16 history + in-kernel
+    matvecs win exactly when the local ring streams from HBM) key on the
+    local size, not the global d.  Returns (cfg-with-concrete-history-dtype,
+    with_matvec bool)."""
+    from ..problems.suite import auto_with_matvec
+
+    d_local = d_pad // n_shards
+    hdtype = resolve_history_dtype(cfg.history_dtype, cfg.m, d_local, dtype)
+    cfg = cfg.replace(history_dtype=hdtype)
+    if with_matvec == "auto":
+        # The in-kernel matvecs (t1 = S@y_new, t2 = Y@y_new) are consumed
+        # only by the incremental-products direction; elsewhere they would be
+        # pure wasted bandwidth.
+        with_matvec = (cfg.direction == "compact_incremental"
+                       and auto_with_matvec(cfg.m, d_local, hdtype))
+    return cfg, bool(with_matvec)
+
+
 def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
                      mesh: Optional[Mesh] = None, grad=None,
                      value_and_grad=None, d_axis: str = "d",
-                     dir_poly=None, problem: Optional[str] = None) -> SolveResult:
+                     dir_poly=None, problem: Optional[str] = None,
+                     with_matvec="auto") -> SolveResult:
     """Single-instance solve with x, g, and the (m, d) history sharded on the
     vector axis across the mesh.  Dimensions not divisible by the mesh are
     transparently zero-padded (exactly equivalent — see _pad_for_mesh).
@@ -98,6 +123,12 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     Without a problem name the Pallas kernels cannot shard (they are
     single-device programs; XLA would materialize full gathers around them),
     so the solve falls back to the auto-partitioned jnp path with a warning.
+
+    ``with_matvec``: "auto" (default) applies the measured per-shard
+    residency rule — the fused tail computes the incremental-products history
+    matvecs in-kernel (one packed psum finishes them) exactly when the local
+    ring streams from HBM, the measured giant-d winner configuration;
+    True/False force it.  Only meaningful on the Pallas-in-shard_map path.
     """
     mesh = mesh if mesh is not None else make_mesh(axis_name=d_axis)
     vg = make_value_and_grad(f, grad, value_and_grad)
@@ -121,13 +152,15 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
         f, vg, x0_arr, d_orig, dir_poly = _pad_for_mesh(
             f, vg, x0, n_shards, mult=shard_alignment(n_shards),
             dir_poly=dir_poly)
+        cfg, wm = _resolve_shard_local(cfg, x0_arr.shape[-1], n_shards,
+                                       x0_arr.dtype, with_matvec)
         # Shard-local kernels replace both the objective interface and the
         # iteration tail; the in-loop jnp ops (direction algebra, line-search
         # scalars) stay auto-partitioned.  use_pallas=False inside stops
         # iterate() from calling the single-device kernels directly.
         vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
-                                         with_matvec=False)
+                                         with_matvec=wm)
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
@@ -135,6 +168,8 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     else:
         f, vg, x0_arr, d_orig, dir_poly = _pad_for_mesh(
             f, vg, x0, n_shards, dir_poly=dir_poly)
+        cfg, _ = _resolve_shard_local(cfg, x0_arr.shape[-1], n_shards,
+                                      x0_arr.dtype, False)
 
     st_sh = state_shardings(mesh, d_axis)
     x_sh = NamedSharding(mesh, P(d_axis))
@@ -173,7 +208,8 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
                           mesh: Optional[Mesh] = None, grad=None,
                           value_and_grad=None, batch_axis: str = "b",
                           d_axis: str = "d", dir_poly=None,
-                          problem: Optional[str] = None) -> SolveResult:
+                          problem: Optional[str] = None,
+                          with_matvec="auto") -> SolveResult:
     """Batched AND sharded: instance batch split over the DP-like mesh axis,
     each instance's vector split over the d axis.  This is the full 2-D
     parallelism story (dp x tp analogue) for the optimizer.
@@ -210,9 +246,11 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
         f, vg, x0_batch, d_orig, dir_poly = _pad_for_mesh(
             f, vg, x0_batch, n_shards, mult=shard_alignment(n_shards),
             dir_poly=dir_poly)
+        cfg, wm = _resolve_shard_local(cfg, x0_batch.shape[-1], n_shards,
+                                       x0_batch.dtype, with_matvec)
         vg = shardmap_fused_vg(problem, mesh, d_orig, d_axis)
         fused_tail = shardmap_fused_tail(problem, mesh, d_orig, d_axis,
-                                         with_matvec=False)
+                                         with_matvec=wm)
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
@@ -220,6 +258,8 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     else:
         f, vg, x0_batch, d_orig, dir_poly = _pad_for_mesh(
             f, vg, x0_batch, n_shards, dir_poly=dir_poly)
+        cfg, _ = _resolve_shard_local(cfg, x0_batch.shape[-1], n_shards,
+                                      x0_batch.dtype, False)
 
     # spmd_axis_name: shards every vmapped shard_map's batch dimension on the
     # mesh's batch axis (a no-op for the plain-jnp path, whose partitioning
