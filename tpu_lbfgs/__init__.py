@@ -32,7 +32,7 @@ from .problems.suite import (
     reference_x0,
     register_problem,
 )
-from .types import LBFGSState, LineSearchResult, SolveResult, Status, Trace
+from .types import Guard, LBFGSState, LineSearchResult, SolveResult, Status, Trace
 
 __version__ = "0.1.0"
 
@@ -44,6 +44,7 @@ __all__ = [
     "LineSearchResult",
     "SolveResult",
     "Status",
+    "Guard",
     "Trace",
     "Problem",
     "fused_tail_for",

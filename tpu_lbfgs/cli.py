@@ -209,17 +209,38 @@ def main(argv=None) -> int:
                     res = solve()
             wall = time.perf_counter() - t0
             if args.verbose and res.trace is not None:
+                from .types import Guard
+
                 k = int(res.iterations)
                 tf = np.asarray(res.trace.f[:k])
                 tg = np.asarray(res.trace.g_norm[:k])
                 ta = np.asarray(res.trace.alpha[:k])
+                tguards = (np.asarray(res.trace.guards[:k])
+                           if res.trace.guards is not None else None)
+                prev = np.zeros((Guard.N,), np.int64)
                 for i in range(k):
-                    print(f"Iteration {i}, f = {tf[i]:.6g}, "
-                          f"|grad| = {tg[i]:.6g}, alpha = {ta[i]:.4g}")
+                    line = (f"Iteration {i}, f = {tf[i]:.6g}, "
+                            f"|grad| = {tg[i]:.6g}, alpha = {ta[i]:.4g}")
+                    if tguards is not None:
+                        # Per-iteration activations (counters are cumulative):
+                        # the reference prints a warning at each of these
+                        # events (lbfgs.cpp:105,121,150,194).
+                        fired = [Guard.NAMES[j] for j in range(Guard.N)
+                                 if tguards[i][j] > prev[j]]
+                        prev = tguards[i]
+                        if fired:
+                            line += "  [" + ", ".join(fired) + "]"
+                    print(line)
             rec = {"seed": seed, "status": Status.NAMES[int(res.status)],
                    "iterations": int(res.iterations), "f": float(res.f),
                    "g_norm": float(res.g_norm), "n_fev": int(res.n_fev),
                    "n_gev": int(res.n_gev), "wall_s": wall}
+            if res.guards is not None:
+                from .types import Guard
+
+                g_arr = np.asarray(res.guards)
+                rec["guards"] = {name: int(g_arr[j]) for j, name in
+                                 enumerate(Guard.NAMES) if int(g_arr[j])}
         results.append(rec)
         if not args.json:
             print(f"seed {seed}: " + "  ".join(

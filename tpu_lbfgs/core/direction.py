@@ -65,6 +65,13 @@ def _gamma(state: LBFGSState, m: int) -> Array:
 
 def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
     """d = -H g via lax.scan two-loop over the ring buffer."""
+    return _two_loop_core(cfg, state)[0]
+
+
+def _two_loop_core(cfg: LBFGSConfig, state: LBFGSState):
+    """(direction, fallback_fired): the bool records the steepest-descent
+    fallback for the Guard.DIR_FALLBACK counter (the reference warns at
+    lbfgs.cpp:105,121)."""
     m = state.s_hist.shape[0]
     g = state.g
     slots, valid = _ring_logical_slots(state.n_pairs, m)
@@ -113,7 +120,7 @@ def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
     r_flat = r_vec.reshape(g.shape)
 
     fallback = bad_rho | bad_gamma | (state.hist_len == 0)
-    return jnp.where(fallback, -g, -r_flat)
+    return jnp.where(fallback, -g, -r_flat), fallback
 
 
 def compact_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
@@ -206,7 +213,7 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
                  jnp.where(fallback, zero_m, v_phys),
                  jnp.where(fallback, zero_m, u_phys),
                  jnp.where(fallback, -gg, g_dot_d))
-    return jnp.where(fallback, -g, -r_vec), aux
+    return jnp.where(fallback, -g, -r_vec), aux, fallback
 
 
 def history_products(state: LBFGSState):
@@ -253,12 +260,13 @@ def compact_incremental_direction_with_aux(cfg: LBFGSConfig,
 
 
 def compute_direction_with_aux(cfg: LBFGSConfig, state: LBFGSState):
+    """(direction, DirAux-or-None, fallback_fired)."""
     if cfg.direction == "compact":
         return compact_direction_with_aux(cfg, state)
     if cfg.direction == "compact_incremental":
         return compact_incremental_direction_with_aux(cfg, state)
-    d = two_loop_direction(cfg, state)
-    return d, None
+    d, fallback = _two_loop_core(cfg, state)
+    return d, None, fallback
 
 
 def compute_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:

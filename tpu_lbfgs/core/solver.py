@@ -40,7 +40,7 @@ from jax import Array, lax
 from ..config import LBFGSConfig
 from ..kernels import iteration_tail
 from ..linesearch.strategies import get_line_search
-from ..types import LBFGSState, SolveResult, Status, Trace, hist_block
+from ..types import Guard, LBFGSState, SolveResult, Status, Trace, hist_block
 from .direction import compute_direction_with_aux
 
 ObjFn = Callable[[Array], Array]
@@ -100,6 +100,7 @@ def init_state(vg: ValGradFn, x0: Array, m: int,
         alpha=jnp.asarray(0.0, dtype),
         n_fev=i32(1),
         n_gev=i32(1),
+        guards=jnp.zeros((Guard.N,), jnp.int32),
     )
 
 
@@ -187,7 +188,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     x, g = state.x, state.g
 
     # --- search direction with descent safeguard (lbfgs.cpp:147-153) ---------
-    d, aux = compute_direction_with_aux(cfg, state)
+    d, aux, dir_fallback = compute_direction_with_aux(cfg, state)
     # Compact paths derive phi'(0) from the direction coefficients in O(m)
     # scalar work (DirAux.g_dot_d) instead of a 2-pass full-vector reduction.
     g_dot_d = jnp.vdot(g, d) if aux is None else aux.g_dot_d
@@ -317,6 +318,21 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         SY_next, YY_next = state.SY, state.YY
         Sg_next, Yg_next = state.Sg, state.Yg
 
+    # --- safeguard-activation counters (types.Guard): the device-side
+    # replacement for the reference's per-event warnings (lbfgs.cpp:105,121,
+    # 150,194; parallel line_search.cpp:38-41) --------------------------------
+    b2i = lambda b: jnp.asarray(b, jnp.int32)
+    guards = state.guards + jnp.stack([
+        # Empty-history steepest descent is the normal start, not a warning
+        # event (the reference warns only on invalid rho/gamma,
+        # lbfgs.cpp:105,121).
+        b2i(dir_fallback & (state.hist_len > 0)),
+        b2i(not_descent),
+        b2i(~failed & (sy <= cfg.curvature_threshold)),
+        jnp.asarray(ls.rescued, jnp.int32),
+        b2i(failed),
+    ])
+
     # --- advance (freeze x/g/f on line-search failure: the reference returns
     # the pre-step iterate, lbfgs.cpp:167) ------------------------------------
     g_norm_new = jnp.sqrt(gg_new)
@@ -347,6 +363,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         + (ls.n_fev if cfg.ls_eval == "direct" else 1),
         n_gev=state.n_gev + 1
         + (ls.n_gev if cfg.ls_eval == "direct" else 0),
+        guards=guards,
     )
 
 
@@ -476,19 +493,22 @@ def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                           lambda t: iterate(cfg, f, vg, t, dir_poly,
                                             fused_tail, phi_batch),
                           lambda t: t, s)
-        emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev, s_next.n_gev)
+        emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev,
+                s_next.n_gev, s_next.guards)
         return s_next, emit
 
-    out, (fs, gns, alphas, nfs, ngs) = lax.scan(body, state, None,
-                                                length=cfg.max_iters)
+    out, (fs, gns, alphas, nfs, ngs, gds) = lax.scan(body, state, None,
+                                                     length=cfg.max_iters)
     out = out._replace(status=_finalize_status(cfg, out))
-    return out, Trace(f=fs, g_norm=gns, alpha=alphas, n_fev=nfs, n_gev=ngs)
+    return out, Trace(f=fs, g_norm=gns, alpha=alphas, n_fev=nfs, n_gev=ngs,
+                      guards=gds)
 
 
 def _state_to_result(state: LBFGSState, trace: Optional[Trace]) -> SolveResult:
     return SolveResult(
         x=state.x, f=state.f, g_norm=state.g_norm, iterations=state.k,
-        status=state.status, n_fev=state.n_fev, n_gev=state.n_gev, trace=trace)
+        status=state.status, n_fev=state.n_fev, n_gev=state.n_gev,
+        trace=trace, guards=state.guards)
 
 
 def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:

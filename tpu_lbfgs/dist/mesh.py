@@ -68,7 +68,7 @@ def state_shardings(mesh: Mesh, d_axis: str = "d",
         s_hist=hist, y_hist=hist, sy_hist=small, yy_hist=small,
         SY=small2, YY=small2, Sg=small, Yg=small,
         n_pairs=scalar, k=scalar, status=scalar, alpha=scalar,
-        n_fev=scalar, n_gev=scalar)
+        n_fev=scalar, n_gev=scalar, guards=small)
 
 
 def result_shardings(mesh: Mesh, d_axis: str = "d",
@@ -82,6 +82,7 @@ def result_shardings(mesh: Mesh, d_axis: str = "d",
     trace = None
     if trace_len is not None:
         trace = Trace(f=sh(None), g_norm=sh(None), alpha=sh(None),
-                      n_fev=sh(None), n_gev=sh(None))
+                      n_fev=sh(None), n_gev=sh(None), guards=sh(None, None))
     return SolveResult(x=sh(d_axis), f=sh(), g_norm=sh(), iterations=sh(),
-                       status=sh(), n_fev=sh(), n_gev=sh(), trace=trace)
+                       status=sh(), n_fev=sh(), n_gev=sh(), trace=trace,
+                       guards=sh(None))

@@ -56,6 +56,12 @@ def load_state(path, dtype=None) -> LBFGSState:
         casts = json.loads(str(z["__casts__"])) if "__casts__" in z else {}
         vals = {}
         for f in _FIELDS:
+            if f == "guards" and f not in z:
+                # Pre-guard-counter checkpoints (same schema otherwise):
+                # resume with zeroed counters.
+                from ..types import Guard
+                vals[f] = jnp.zeros((Guard.N,), jnp.int32)
+                continue
             a = z[f]
             if dtype is not None and a.dtype.kind == "f":
                 a = a.astype(dtype)

@@ -84,12 +84,16 @@ def _i32(v) -> Array:
     return jnp.asarray(v, jnp.int32)
 
 
-def _apply_rescue(cfg: LBFGSConfig, alpha: Array) -> Array:
-    """Parallel-fidelity floor rescue: alpha < floor -> rescue value."""
+def _apply_rescue(cfg: LBFGSConfig, alpha: Array) -> Tuple[Array, Array]:
+    """Parallel-fidelity floor rescue: alpha < floor -> rescue value.
+    Returns (alpha, fired) so the solver can count Guard.LS_RESCUE — the
+    reference's equivalent of this branch silently changes the trajectory
+    (parallel line_search.cpp:38-41)."""
     if cfg.alpha_rescue_floor is None:
-        return alpha
-    return jnp.where(alpha < cfg.alpha_rescue_floor,
-                     jnp.asarray(cfg.alpha_rescue_value, alpha.dtype), alpha)
+        return alpha, _i32(0)
+    hit = alpha < cfg.alpha_rescue_floor
+    return jnp.where(hit, jnp.asarray(cfg.alpha_rescue_value, alpha.dtype),
+                     alpha), hit.astype(jnp.int32)
 
 
 def _armijo_accept(cfg: LBFGSConfig, f_x, f_new, alpha, g_dot_d) -> Array:
@@ -134,7 +138,8 @@ def backtracking(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
         # which, on a degenerate direction (e.g. a near-zero-curvature pair
         # making rho explode), applies a garbage step and diverges.
         alpha = jnp.where(broke, jnp.zeros_like(alpha), alpha)
-    return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
+    alpha, rescued = _apply_rescue(cfg, alpha)
+    return LineSearchResult(alpha, n_fev, _i32(0), rescued)
 
 
 # -----------------------------------------------------------------------------
@@ -204,7 +209,8 @@ def backtracking_speculative(cfg: LBFGSConfig, phi: PhiFn,
     if cfg.fidelity == "fixed" and cfg.alpha_rescue_floor is None:
         # Same textbook break-means-fail semantics as `backtracking`.
         alpha = jnp.where(broke, jnp.zeros_like(alpha), alpha)
-    return LineSearchResult(_apply_rescue(cfg, alpha), n_fev, _i32(0))
+    alpha, rescued = _apply_rescue(cfg, alpha)
+    return LineSearchResult(alpha, n_fev, _i32(0), rescued)
 
 
 # -----------------------------------------------------------------------------
@@ -357,8 +363,10 @@ def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
     # (line_search.cpp:120); only that path goes through the parallel
     # implementation's floor rescue (parallel line_search.cpp:223-227) —
     # in-loop accepts return alpha directly.
-    alpha_out = jnp.where(done, result, _apply_rescue(cfg, alpha))
-    return LineSearchResult(alpha_out, n_fev, _i32(0))
+    rescued_alpha, hit = _apply_rescue(cfg, alpha)
+    alpha_out = jnp.where(done, result, rescued_alpha)
+    return LineSearchResult(alpha_out, n_fev, _i32(0),
+                            jnp.where(done, _i32(0), hit))
 
 
 # -----------------------------------------------------------------------------

@@ -81,7 +81,8 @@ def safe_cubic_interpolate(a0, a1, p0, dp0, p1, dp1, fixed=False):
 
 # --- line searches --------------------------------------------------------------
 
-def ls_backtracking(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+def ls_backtracking(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd,
+                    events=None):
     alpha = cfg.initial_step
     while True:
         f_new = f(x + alpha * d)
@@ -95,6 +96,8 @@ def ls_backtracking(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
         if alpha < cfg.backtracking_tol:
             break
     if cfg.alpha_rescue_floor is not None and alpha < cfg.alpha_rescue_floor:
+        if events is not None:
+            events["ls_rescue"] += 1
         return cfg.alpha_rescue_value
     return alpha
 
@@ -137,7 +140,8 @@ def ls_backtracking_wolfe_bisect(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
     return alpha
 
 
-def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
+def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd,
+                            events=None):
     alpha = cfg.initial_step
     alpha_prev = 0.0
     f_prev = f_x
@@ -174,6 +178,8 @@ def ls_armijo_interpolation(cfg: LBFGSConfig, f, grad, x, d, f_x, g, gdd):
             alpha_prev = alpha_tested  # "fixed": track the tested point
         f_prev = f_new
     if cfg.alpha_rescue_floor is not None and alpha < cfg.alpha_rescue_floor:
+        if events is not None:
+            events["ls_rescue"] += 1
         return cfg.alpha_rescue_value
     return alpha
 
@@ -237,6 +243,12 @@ class OracleResult:
     fs: List[float] = field(default_factory=list)
     g_norms: List[float] = field(default_factory=list)
     alphas: List[float] = field(default_factory=list)
+    # Safeguard-activation counts, keyed like types.Guard.NAMES — the
+    # reference's warning sites counted (lbfgs.cpp:105,121,150,194; parallel
+    # line_search.cpp:38-41).  Parity target for SolveResult.guards.
+    guard_counts: dict = field(default_factory=lambda: {
+        "dir_fallback": 0, "not_descent": 0, "pair_reject": 0,
+        "ls_rescue": 0, "lane_freeze": 0})
 
 
 def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,
@@ -260,20 +272,26 @@ def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,
             break
 
         # --- direction: two-loop with reference guards ---
-        d = _direction(cfg, g, s_hist, y_hist)
+        d = _direction(cfg, g, s_hist, y_hist, events=res.guard_counts)
 
         gdd = float(np.dot(g, d))
         if gdd >= 0:
+            res.guard_counts["not_descent"] += 1   # lbfgs.cpp:150 warning
             d = -g
             gdd = float(np.dot(g, d))
 
-        alpha = line_search(cfg, f, grad, x, d, f_current, g, gdd)
+        if line_search in (ls_backtracking, ls_armijo_interpolation):
+            alpha = line_search(cfg, f, grad, x, d, f_current, g, gdd,
+                                events=res.guard_counts)
+        else:
+            alpha = line_search(cfg, f, grad, x, d, f_current, g, gdd)
         if record:
             res.alphas.append(alpha)
 
         x_new = x + alpha * d
         f_current = float(f(x_new))
         if alpha < cfg.step_fail_tol:
+            res.guard_counts["lane_freeze"] += 1
             res.status = "line_search_failed"
             break
 
@@ -287,6 +305,8 @@ def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,
                 y_hist.pop(0)
             s_hist.append(s)
             y_hist.append(y)
+        else:
+            res.guard_counts["pair_reject"] += 1   # lbfgs.cpp:194 warning
 
         x, g = x_new, g_new
         res.iterations = k + 1
@@ -297,8 +317,18 @@ def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,
     return res
 
 
-def _direction(cfg: LBFGSConfig, g, s_hist, y_hist) -> np.ndarray:
-    """Two-loop recursion with the CPU reference's guards (lbfgs.cpp:86-144)."""
+def _direction(cfg: LBFGSConfig, g, s_hist, y_hist,
+               events=None) -> np.ndarray:
+    """Two-loop recursion with the CPU reference's guards (lbfgs.cpp:86-144).
+    ``events``: optional guard-count dict; the invalid-rho/gamma fallbacks
+    (the lbfgs.cpp:105,121 warnings) increment ``dir_fallback``.  The empty-
+    history steepest-descent start is NOT counted — the reference does not
+    warn there either."""
+    def fell_back():
+        if events is not None:
+            events["dir_fallback"] += 1
+        return -g
+
     if not s_hist:
         return -g
     h = len(s_hist)
@@ -313,14 +343,14 @@ def _direction(cfg: LBFGSConfig, g, s_hist, y_hist) -> np.ndarray:
                 continue
         rho = 1.0 / sy if sy != 0 else float("inf")
         if not math.isfinite(rho):
-            return -g
+            return fell_back()
         alphas[i] = rho * float(np.dot(s_hist[i], q))
         q -= alphas[i] * y_hist[i]
     sy_last = float(np.dot(s_hist[-1], y_hist[-1]))
     yy_last = float(np.dot(y_hist[-1], y_hist[-1]))
     gamma = sy_last / yy_last if yy_last != 0 else float("nan")
     if gamma <= 0 or not math.isfinite(gamma):
-        return -g
+        return fell_back()
     r = gamma * q
     for i in range(h):
         if skip[i]:

@@ -46,6 +46,29 @@ class Status:
     NAMES = {0: "running", 1: "converged", 2: "line_search_failed", 3: "max_iters"}
 
 
+class Guard:
+    """Indices into the ``guards`` counter vector: how often each algorithmic
+    safeguard fired during the solve.
+
+    The reference WARNS at every activation (lbfgs.cpp:105,121 invalid
+    rho/gamma, :150 non-descent direction, :194 curvature skip; the parallel
+    alpha-floor rescue at parallel-implementation/line_search.cpp:38-41) —
+    host printing the branchless device loop cannot do.  These int32
+    counters, carried in the state and surfaced in SolveResult/Trace and the
+    CLI verbose replay, restore that diagnostic parity without any device
+    sync."""
+
+    DIR_FALLBACK = 0   # invalid rho/gamma/non-finite -> d = -g (lbfgs.cpp:103-124)
+    NOT_DESCENT = 1    # g.d >= 0 safeguard -> d = -g          (lbfgs.cpp:147-153)
+    PAIR_REJECT = 2    # curvature pair rejected, ring frozen   (lbfgs.cpp:192-195)
+    LS_RESCUE = 3      # alpha floor rescue fired   (parallel line_search.cpp:38-41)
+    LANE_FREEZE = 4    # non-finite/underflow step froze the lane (solver.iterate)
+    N = 5
+
+    NAMES = ("dir_fallback", "not_descent", "pair_reject", "ls_rescue",
+             "lane_freeze")
+
+
 class LBFGSState(NamedTuple):
     """Full solver state; a pytree, so it vmaps/shards/checkpoints directly.
 
@@ -78,6 +101,10 @@ class LBFGSState(NamedTuple):
     alpha: Array      # ()     last accepted step size
     n_fev: Array      # ()     int32, objective evaluations
     n_gev: Array      # ()     int32, gradient evaluations
+    # (Guard.N,) int32 safeguard-activation counters (class Guard).  Default
+    # None only for hand-built partial states in direction-level tests; every
+    # solver-constructed state carries real zeros.
+    guards: Array = None
 
     @property
     def hist_len(self) -> Array:
@@ -88,6 +115,10 @@ class LineSearchResult(NamedTuple):
     alpha: Array      # ()     accepted (or last) step size
     n_fev: Array      # ()     int32, objective evals performed by the search
     n_gev: Array      # ()     int32, gradient evals performed by the search
+    # () int32 1 when the parallel-fidelity alpha-floor rescue replaced an
+    # underflowed step (parallel line_search.cpp:38-41); feeds
+    # Guard.LS_RESCUE.
+    rescued: Array = 0
 
 
 class Trace(NamedTuple):
@@ -104,6 +135,7 @@ class Trace(NamedTuple):
     alpha: Array      # (max_iters,)
     n_fev: Array      # (max_iters,) cumulative
     n_gev: Array      # (max_iters,) cumulative
+    guards: Array = None  # (max_iters, Guard.N) cumulative safeguard counters
 
 
 class SolveResult(NamedTuple):
@@ -115,3 +147,4 @@ class SolveResult(NamedTuple):
     n_fev: Array
     n_gev: Array
     trace: Optional[Trace] = None
+    guards: Array = None  # (Guard.N,) int32 final safeguard counters (Guard)
