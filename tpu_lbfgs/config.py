@@ -116,8 +116,9 @@ class LBFGSConfig:
     # None (default) is fine for typical runs: the no-cancellation
     # incremental updates (u1 = S@y_new directly) plus the curvature
     # pair-skip keep every observed f32 workload finite
-    # (tests/test_robustness.py).  Not applied under record_trace (the
-    # bounded-scan trace path is for diagnostics).
+    # (tests/test_robustness.py).  Under record_trace the bounded scan is
+    # segmented the same way (solver._solve_traced), so traced diagnostics
+    # run the identical algorithm.
     refresh_interval: Optional[int] = None
     # When set, the two-loop individually skips pairs with sy <= threshold —
     # the GPU reference's behavior (L-BFGS.cu:222-223, threshold 1e-10).  When
