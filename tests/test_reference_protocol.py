@@ -156,3 +156,26 @@ def test_cell_ran_requires_every_seed_to_iterate():
     assert not _cell_ran(mixed)
     assert not _cell_ran(empty)
     assert not _cell_ran(skipped)
+
+
+def test_cell_rate_keeps_mixed_cells_partial_data():
+    """_cell_rate (ADVICE r3): a mixed cell's iterated seeds contribute a
+    real rate instead of the whole cell being discarded; fully-failed and
+    skipped cells still yield None."""
+    from tpu_lbfgs.bench.reference_protocol import _cell_rate
+
+    clean = {"iters_per_s": 100.0, "statuses": ["converged", "max_iters"]}
+    mixed = {"iters_per_s": 5.0,
+             "statuses": ["line_search_failed", "max_iters"],
+             "per_seed_wall_s": [0.004, 10.0],
+             "per_seed_iterations": [1, 1000]}
+    dead = {"iters_per_s": 3.0,
+            "statuses": ["line_search_failed", "line_search_failed"],
+            "per_seed_wall_s": [0.004, 0.004],
+            "per_seed_iterations": [1, 1]}
+    skipped = {"skipped": "tunnel circuit breaker"}
+    assert _cell_rate(clean) == (100.0, 2)
+    rate, used = _cell_rate(mixed)
+    assert used == 1 and abs(rate - 100.0) < 1e-9   # only the iterated seed
+    assert _cell_rate(dead) == (None, 0)
+    assert _cell_rate(skipped) == (None, 0)

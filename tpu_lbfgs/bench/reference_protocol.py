@@ -262,6 +262,34 @@ def _cell_ran(c: dict) -> bool:
                 and all(s in ("converged", "max_iters") for s in statuses))
 
 
+def _cell_rate(c: dict):
+    """(iters_per_s, seeds_used) over only the seeds that actually ITERATED
+    (converged / max_iters) — a mixed cell keeps its legitimate data points
+    instead of being discarded outright (ADVICE r3): the failed-at-iteration-1
+    seeds' dispatch-dominated walls are excluded from both numerator and
+    denominator.  Returns (None, 0) when no seed iterated."""
+    statuses = c.get("statuses", ())
+    if _cell_ran(c):
+        # Every seed iterated: the cell's own aggregate (computed from
+        # unrounded walls) is exact — the per-seed walls below are rounded
+        # to 3 decimals and would divide-by-zero on sub-ms cells.
+        return c["iters_per_s"], len(statuses)
+    walls = c.get("per_seed_wall_s", ())
+    iters = c.get("per_seed_iterations", ())
+    if not statuses or len(walls) != len(statuses) \
+            or len(iters) != len(statuses):
+        return None, 0
+    pairs = [(w, i) for s, w, i in zip(statuses, walls, iters)
+             if s in ("converged", "max_iters")]
+    if not pairs:
+        return None, 0
+    mean_wall = sum(w for w, _ in pairs) / len(pairs)
+    mean_iters = sum(i for _, i in pairs) / len(pairs)
+    if not mean_wall or not mean_iters:
+        return None, 0
+    return mean_iters / mean_wall, len(pairs)
+
+
 def run_protocol(problem: str = "rosenbrock", dims=DIMS,
                  seeds=REFERENCE_SEEDS, cpu: bool = True, tpu: bool = True,
                  cpu_budget_s: float = 600.0, tpu_budget_s: float = 600.0,
@@ -346,24 +374,31 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # (wall ratios would confound tolerance differences — the f32 cells stop
     # at the GPU tol 1e-1, the oracle at 1e-8; per-iteration work is the
     # comparable unit, as the fixed-iteration harness docstring argues).
-    _ran = _cell_ran
     speedups = []
     for d in dims:
         for label, _ in TABLE_I_STRATEGIES:
             tpu_cell = next((c for c in cells if c["d"] == d
                              and c["strategy"] == label
-                             and c.get("backend") == "tpu-f32-norescue"
-                             and _ran(c)), None)
+                             and c.get("backend") == "tpu-f32-norescue"), None)
             cpu_cell = next((c for c in cells if c["d"] == d
                              and c["strategy"] == label
-                             and c.get("backend") == "cpu-native-f64"
-                             and _ran(c)), None)
+                             and c.get("backend") == "cpu-native-f64"), None)
             if tpu_cell and cpu_cell:
-                speedups.append({
+                tpu_rate, tpu_used = _cell_rate(tpu_cell)
+                cpu_rate, cpu_used = _cell_rate(cpu_cell)
+                if not tpu_rate or not cpu_rate:
+                    continue
+                row = {
                     "d": d, "strategy": label,
-                    "tpu_per_iter_speedup": round(
-                        tpu_cell["iters_per_s"] / cpu_cell["iters_per_s"], 1),
-                })
+                    "tpu_per_iter_speedup": round(tpu_rate / cpu_rate, 1),
+                }
+                n_seeds = len(tpu_cell.get("statuses", ()))
+                if tpu_used < n_seeds or cpu_used < len(
+                        cpu_cell.get("statuses", ())):
+                    # Partial-provenance marker: the ratio uses only the
+                    # iterated seeds of a mixed cell.
+                    row["seeds_used"] = {"tpu": tpu_used, "cpu": cpu_used}
+                speedups.append(row)
     # Fig.-1 f64 evidence cell (VERDICT r2 item 6): one attempt of the
     # XLA-emulated-f64 sequential config on TPU at the CHEAPEST shape
     # (quadratic d=1e4, 1 seed, generous alarm).  Either the measured cell or
@@ -374,10 +409,18 @@ def run_protocol(problem: str = "rosenbrock", dims=DIMS,
     # isolate=False), skipped in --quick smoke runs, and skipped when the
     # circuit breaker already concluded the tunnel is wedged: the probe's
     # generous timeout (>=1800s) would otherwise block against a dead tunnel.
-    # ... and skipped when the f64 grid already ran (tpu_f64=True measures
-    # every tpu-f64-seqcfg cell including this one — re-probing would burn
-    # an up-to-1800s subprocess wait on data already in `cells`).
-    if tpu and isolate and not quick and not tpu_f64 \
+    # ... and skipped when the f64 grid already measured the probe's OWN
+    # documented shape (tpu_f64 runs every tpu-f64-seqcfg cell, but only a
+    # quadratic grid that includes d=10,000 actually covers it — a
+    # rosenbrock --tpu-f64 run must still probe, else the report carries no
+    # measurement at the documented shape; ADVICE r3).
+    f64_covered_by_grid = (tpu_f64 and problem == "quadratic"
+                           and 10_000 in dims)
+    if f64_covered_by_grid:
+        f64_probe = {"note": "covered by the tpu-f64 grid cells "
+                             "(problem=quadratic, d=10000 in dims — see "
+                             "`cells` with config='tpu-f64')"}
+    if tpu and isolate and not quick and not f64_covered_by_grid \
             and tpu_timeouts_in_a_row < 3:
         t0 = time.perf_counter()
         f64_probe = _cell_subprocess("quadratic", 10_000, "backtracking",
