@@ -192,6 +192,48 @@ def main():
     cpu_cfg = LBFGSConfig(line_search="backtracking", m=10)
     cpu = bench_cpu_native(problem="rosenbrock", d=d, iters=20, cfg=cpu_cfg)
 
+    # BASELINE config-4 batch cell (VERDICT r3 item 9): 4096 independent
+    # d=1024 instances vmapped in lockstep — the second headline workload.
+    # Runs LAST and fully guarded: the primary metric above is already
+    # measured, so a batch-path failure (or the budget alarm firing during
+    # its multi-minute tunnel compile) downgrades only this nested record.
+    batch_rec = None
+    elapsed = time.perf_counter() - t_start
+    if elapsed > budget - 420:
+        batch_rec = {"skipped": f"only {budget - elapsed:.0f}s of budget "
+                                f"left for the batch compile"}
+    else:
+        try:
+            from tpu_lbfgs.bench.harness import bench_batch
+
+            t0 = time.perf_counter()
+            b = bench_batch(problem="rosenbrock", batch=4096, d=1024,
+                            iters=200, repeats=3)
+            cpu_b = bench_cpu_native(
+                problem="rosenbrock", d=1024, iters=200,
+                cfg=LBFGSConfig(line_search="backtracking", m=10))
+            batch_rec = {
+                "metric": "lbfgs_instance_iters_per_s_batch4096_d1024_f32",
+                "value": round(b.iters_per_s, 1),
+                "unit": "instance-iter/s",
+                # One chip solving 4096 instances vs the reference-GPU-
+                # equivalent solving them one at a time (1.2x normalization).
+                "vs_baseline": round(
+                    b.iters_per_s
+                    / (REFERENCE_GPU_SPEEDUP * cpu_b.iters_per_s), 1),
+                "cpu_native_iters_per_s_d1024": round(cpu_b.iters_per_s, 2),
+                "wall_s_200it": round(b.wall_s, 4),
+                "cell_total_s": round(time.perf_counter() - t0, 1),
+            }
+            log(f"batch cell: {b.iters_per_s:,.0f} instance-it/s "
+                f"(wall {b.wall_s:.3f}s)")
+        except BaseException as e:     # noqa: BLE001 — incl. BenchTimeout:
+            # record and fall through to print the primary metric (the
+            # budget alarm only fires once, and everything after this point
+            # is prompt host-side work).
+            batch_rec = {"error": f"{type(e).__name__}: {e}"}
+            log(f"batch cell failed: {type(e).__name__}: {e}")
+
     vs_baseline = tpu.iters_per_s / (REFERENCE_GPU_SPEEDUP * cpu.iters_per_s)
     print(json.dumps({
         "metric": "lbfgs_iters_per_s_rosenbrock_d2e20_f32",
@@ -201,6 +243,9 @@ def main():
         "cpu_native_iters_per_s": round(cpu.iters_per_s, 2),
         "tpu_wall_s_1000it": round(tpu.wall_s, 4),
         "config": bench_config,
+        # Second BASELINE workload, nested so the driver's one-line contract
+        # holds (it parses the last JSON line as THE headline metric).
+        "batch_metric": batch_rec,
         **TELEMETRY,
     }))
 
