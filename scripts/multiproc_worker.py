@@ -65,6 +65,39 @@ def main() -> int:
     got = float(np.asarray(psum_val.addressable_shards[0].data)[0])
     assert got == expected, (got, expected)
 
+    # --- sharded checkpoint across the process boundary ---------------------
+    # Each process writes ONLY its addressable shards; the restore rebuilds
+    # the cross-process state with no host gather (io.checkpoint sharded
+    # layout).  This is the multi-host checkpoint story executed for real.
+    import tempfile
+
+    from tpu_lbfgs.core.solver import init_state, make_value_and_grad
+    from tpu_lbfgs.dist.mesh import state_shardings
+    from tpu_lbfgs.io import load_state_sharded, save_state_sharded
+
+    ck_dir = os.path.join(tempfile.gettempdir(),
+                          f"tpu_lbfgs_mp_ck_{coordinator.split(':')[-1]}")
+    pq = get_problem("quadratic")
+    vgq = make_value_and_grad(pq.f, pq.grad)
+    st_sh = state_shardings(mesh)
+    make = jax.jit(lambda x: init_state(vgq, x, 5), out_shardings=st_sh)
+    x0q = jax.device_put(np.linspace(-1.0, 1.0, 1024),
+                         jax.sharding.NamedSharding(mesh, P("d")))
+    st = make(x0q)
+    save_state_sharded(ck_dir, st)
+    # Barrier: process 0 writes index.json last; both processes' shard files
+    # must exist before either loads.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("ckpt-written")
+    st2 = load_state_sharded(ck_dir, mesh)
+    for f_name in ("x", "g", "s_hist"):
+        a = getattr(st, f_name).addressable_shards
+        b = getattr(st2, f_name).addressable_shards
+        for sa, sb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(sa.data),
+                                          np.asarray(sb.data))
+    multihost_utils.sync_global_devices("ckpt-verified")
+
     # --- sharded solve over the global (cross-process) mesh -----------------
     # d=1024 divides exactly over the 8 global shards (no padding path).
     p = get_problem("coupled_quadratic")
