@@ -27,6 +27,7 @@ from .problems.suite import (
     fused_tail_for,
     fused_value_and_grad,
     get_problem,
+    multi_phi_dphi_for,
     multi_phi_for,
     problem_names,
     reference_x0,
@@ -50,6 +51,7 @@ __all__ = [
     "fused_tail_for",
     "fused_value_and_grad",
     "get_problem",
+    "multi_phi_dphi_for",
     "multi_phi_for",
     "problem_names",
     "reference_x0",

@@ -136,7 +136,7 @@ def main(argv=None) -> int:
     # on callable IDENTITY, so per-seed fresh closures would force a full
     # retrace (through the axon tunnel, a multi-minute recompile) per seed.
     dir_poly = p.dir_poly if args.poly_ls else None
-    vg = fused_tail = phi_batch = None
+    vg = fused_tail = phi_batch = phi_dphi_batch = None
     if args.pallas and not args.shard and not args.batch \
             and args.backend == "jax":
         # Single-device fused kernels.  The --shard path instead passes
@@ -155,6 +155,12 @@ def main(argv=None) -> int:
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = multi_phi_for(args.problem, use_pallas=True)
+        if cfg.line_search in ("wolfe_interpolation_speculative",
+                               "backtracking_wolfe_speculative") \
+                and cfg.ls_eval == "direct":
+            from .problems.suite import multi_phi_dphi_for
+            phi_dphi_batch = multi_phi_dphi_for(args.problem,
+                                                use_pallas=True)
 
     results = []
     for seed in args.seeds:
@@ -197,7 +203,8 @@ def main(argv=None) -> int:
                                          grad=None if vg else p.grad,
                                          value_and_grad=vg, dir_poly=dir_poly,
                                          fused_tail=fused_tail,
-                                         phi_batch=phi_batch)
+                                         phi_batch=phi_batch,
+                                         phi_dphi_batch=phi_dphi_batch)
                 if args.profile:
                     from .utils.profiling import trace as profiler_trace
                     res = solve()          # warmup/compile outside the trace

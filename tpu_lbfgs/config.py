@@ -33,9 +33,11 @@ LINE_SEARCH_METHODS = (
     "backtracking",
     "backtracking_speculative",
     "backtracking_wolfe",
+    "backtracking_wolfe_speculative",
     "backtracking_wolfe_bisect",
     "armijo_interpolation",
     "wolfe_interpolation",
+    "wolfe_interpolation_speculative",
 )
 
 DIRECTION_METHODS = ("two_loop", "compact", "compact_incremental")

@@ -119,7 +119,7 @@ def _polyder(coeffs: Array) -> Array:
 
 
 def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
-             dir_poly=None, phi_batch=None):
+             dir_poly=None, phi_batch=None, phi_dphi_batch=None):
     """Build the 1-D line-search interface phi / phi_dphi.
 
     "direct": each trial streams the full vector (trial point fused into the
@@ -157,15 +157,27 @@ def make_phi(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn, x: Array, d: Array,
         return jax.vmap(lambda aa: f(x + aa * d))(a)
 
     def phi_dphi(a):
-        f_new, g_new = vg(x + a * d)
-        return f_new, jnp.vdot(g_new, d)
+        a = jnp.asarray(a)
+        if a.ndim == 0:
+            f_new, g_new = vg(x + a * d)
+            return f_new, jnp.vdot(g_new, d)
+        # Vector-capable (K,) trials for the speculative Wolfe searches:
+        # one fused pass via kernels.make_multi_phi_dphi when provided.
+        if phi_dphi_batch is not None:
+            return phi_dphi_batch(x, d, a)
+
+        def one(aa):
+            f_new, g_new = vg(x + aa * d)
+            return f_new, jnp.vdot(g_new, d)
+
+        return jax.vmap(one)(a)
 
     return phi, phi_dphi
 
 
 def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
             state: LBFGSState, dir_poly=None, fused_tail=None,
-            phi_batch=None) -> LBFGSState:
+            phi_batch=None, phi_dphi_batch=None) -> LBFGSState:
     """One unconditional L-BFGS iteration (assumes status == RUNNING).
 
     fused_tail: optional single-stream post-line-search tail (see
@@ -197,7 +209,8 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     g_dot_d = jnp.where(not_descent, -state.g_norm * state.g_norm, g_dot_d)
 
     # --- line search ----------------------------------------------------------
-    phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly, phi_batch)
+    phi, phi_dphi = make_phi(cfg, f, vg, x, d, dir_poly, phi_batch,
+                             phi_dphi_batch)
     line_search = get_line_search(cfg.line_search)
     ls = line_search(cfg, phi, phi_dphi, state.f, g_dot_d)
     alpha = ls.alpha
@@ -403,7 +416,8 @@ def refresh_products(state: LBFGSState) -> LBFGSState:
 
 def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                      state: LBFGSState, dir_poly=None,
-                     fused_tail=None, phi_batch=None) -> LBFGSState:
+                     fused_tail=None, phi_batch=None,
+                     phi_dphi_batch=None) -> LBFGSState:
     """Run the while_loop from an arbitrary state (also used for resume from
     checkpoint).  Returns the terminal state with status finalized.
 
@@ -417,8 +431,9 @@ def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     """
     if cfg.record_trace:
         return _solve_traced(cfg, f, vg, state, dir_poly, fused_tail,
-                             phi_batch)[0]
-    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch)
+                             phi_batch, phi_dphi_batch)[0]
+    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch,
+                             phi_dphi_batch)
     if cfg.refresh_interval is not None \
             and cfg.direction == "compact_incremental":
         chunk = jnp.asarray(cfg.refresh_interval, jnp.int32)
@@ -438,7 +453,7 @@ def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 def make_solve_segment(cfg: LBFGSConfig, f: ObjFn, grad=None,
                        value_and_grad=None, iters: Optional[int] = None,
                        dir_poly=None, fused_tail=None, phi_batch=None,
-                       donate: bool = True):
+                       phi_dphi_batch=None, donate: bool = True):
     """Compiled ``state -> state`` running up to ``iters`` iterations (or to
     convergence), for host-driven segmented solves: periodic checkpointing
     (io.checkpoint.save_state between segments), host-side monitoring, or
@@ -460,7 +475,8 @@ def make_solve_segment(cfg: LBFGSConfig, f: ObjFn, grad=None,
     seg_iters = iters if iters is not None \
         else (cfg.refresh_interval if cfg.refresh_interval is not None
               else cfg.max_iters)
-    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch)
+    body = lambda s: iterate(cfg, f, vg, s, dir_poly, fused_tail, phi_batch,
+                             phi_dphi_batch)
 
     def segment(state: LBFGSState) -> LBFGSState:
         k_cap = jnp.minimum(state.k + seg_iters, cfg.max_iters)
@@ -483,7 +499,8 @@ def finalize_result(cfg: LBFGSConfig, state: LBFGSState) -> SolveResult:
 
 def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                   state: LBFGSState, dir_poly=None,
-                  fused_tail=None, phi_batch=None) -> Tuple[LBFGSState, Trace]:
+                  fused_tail=None, phi_batch=None,
+                  phi_dphi_batch=None) -> Tuple[LBFGSState, Trace]:
     """Bounded lax.scan variant that records per-iteration metrics — the
     device-side replacement for the reference's per-iteration host logging
     (lbfgs.cpp:76-78), which forces a sync every step.
@@ -502,7 +519,8 @@ def _solve_traced(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     def body(s: LBFGSState, _):
         s_next = lax.cond(_running(cfg, s),
                           lambda t: iterate(cfg, f, vg, t, dir_poly,
-                                            fused_tail, phi_batch),
+                                            fused_tail, phi_batch,
+                                            phi_dphi_batch),
                           lambda t: t, s)
         emit = (s_next.f, s_next.g_norm, s_next.alpha, s_next.n_fev,
                 s_next.n_gev, s_next.guards)
@@ -554,7 +572,7 @@ def make_value_and_grad(f: ObjFn, grad=None, value_and_grad=None) -> ValGradFn:
 
 @lru_cache(maxsize=128)
 def _compiled_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
-                  fused_tail, phi_batch):
+                  fused_tail, phi_batch, phi_dphi_batch=None):
     """Jitted solve factory, cached on the (hashable) configuration and the
     callables' identities: repeated minimize() calls with the same setup hit
     jax's compilation cache instead of rebuilding a fresh closure (and
@@ -566,10 +584,10 @@ def _compiled_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
         state = init_state(vg, x0, cfg.m, cfg.history_dtype)
         if cfg.record_trace:
             out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
-                                       fused_tail, phi_batch)
+                                       fused_tail, phi_batch, phi_dphi_batch)
             return _state_to_result(out, trace)
         out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
-                               phi_batch)
+                               phi_batch, phi_dphi_batch)
         return _state_to_result(out, None)
 
     return run
@@ -577,7 +595,8 @@ def _compiled_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
 
 def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
              grad=None, value_and_grad=None, dir_poly=None,
-             fused_tail=None, phi_batch=None) -> SolveResult:
+             fused_tail=None, phi_batch=None,
+             phi_dphi_batch=None) -> SolveResult:
     """Jit-compiled single-instance solve.  The public entry point matching
     the reference's ``LBFGS(f, grad, x0, line_search_method, ...)``
     (lbfgs.cpp:17-25) — but returning a structured result instead of printing.
@@ -592,5 +611,5 @@ def minimize(f: ObjFn, x0: Array, cfg: LBFGSConfig = LBFGSConfig(),
     to benefit).
     """
     run = _compiled_run(cfg, f, grad, value_and_grad, dir_poly,
-                        fused_tail, phi_batch)
+                        fused_tail, phi_batch, phi_dphi_batch)
     return run(jnp.asarray(x0))

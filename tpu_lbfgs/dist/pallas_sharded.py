@@ -40,6 +40,7 @@ from ..kernels.pallas_ops import (
     LANES,
     TAIL_BODIES,
     _fused_tail_pallas,
+    _multi_phi_dphi_pallas,
     _multi_phi_pallas,
     local_block_rows,
     local_fused_vg,
@@ -183,3 +184,30 @@ def shardmap_multi_phi(problem: str, mesh: Mesh, n: int,
     return jax.shard_map(impl, mesh=mesh,
                          in_specs=(P(d_axis), P(d_axis), P()),
                          out_specs=P(), check_vma=False)
+
+
+def shardmap_multi_phi_dphi(problem: str, mesh: Mesh, n: int,
+                            d_axis: str = "d") -> Callable:
+    """phi_dphi_batch(x, d, alphas) -> ((K,), (K,)): all K line-search trial
+    (phi, phi') pairs in one fused per-shard pass — the speculative-Wolfe
+    evaluator — finished with ONE psum of the stacked (2, K) partials."""
+
+    def impl(x_l, d_l, alphas):
+        x_l, d_l = x_l.reshape(-1), d_l.reshape(-1)
+        d_local = x_l.shape[0]
+        br = local_block_rows(d_local // LANES)
+        start = lax.axis_index(d_axis) * d_local
+        if _needs_halo(problem):
+            px, nx = _edge_pair(x_l, d_axis)
+            pd, nd = _edge_pair(d_l, d_axis)
+            edges = jnp.stack([px, pd, nx, nd])
+        else:
+            edges = jnp.zeros((4,), x_l.dtype)
+        phis, dphis = _multi_phi_dphi_pallas(problem, x_l, d_l, alphas, n=n,
+                                             start=start, edges=edges, br=br)
+        packed = lax.psum(jnp.stack([phis, dphis]), d_axis)
+        return packed[0], packed[1]
+
+    return jax.shard_map(impl, mesh=mesh,
+                         in_specs=(P(d_axis), P(d_axis), P()),
+                         out_specs=(P(), P()), check_vma=False)

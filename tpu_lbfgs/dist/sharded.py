@@ -36,6 +36,7 @@ from .pallas_sharded import (
     shardmap_fused_tail,
     shardmap_fused_vg,
     shardmap_multi_phi,
+    shardmap_multi_phi_dphi,
 )
 
 
@@ -137,6 +138,7 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     x0 = jnp.asarray(x0)
     fused_tail = None
     phi_batch = None
+    phi_dphi_batch = None
     pallas_shard = (cfg.use_pallas and n_shards > 1
                     and problem in SHARDED_PALLAS_PROBLEMS
                     and x0.dtype == jnp.float32)
@@ -164,6 +166,11 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
+        if cfg.line_search in ("wolfe_interpolation_speculative",
+                               "backtracking_wolfe_speculative") \
+                and cfg.ls_eval == "direct":
+            phi_dphi_batch = shardmap_multi_phi_dphi(problem, mesh, d_orig,
+                                                     d_axis)
         cfg = cfg.replace(use_pallas=False)
     else:
         f, vg, x0_arr, d_orig, dir_poly = _pad_for_mesh(
@@ -186,10 +193,10 @@ def sharded_minimize(f: Callable, x0, cfg: LBFGSConfig = LBFGSConfig(),
     def run(state):
         if cfg.record_trace:
             out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
-                                       fused_tail, phi_batch)
+                                       fused_tail, phi_batch, phi_dphi_batch)
             return _state_to_result(out, trace)
         out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
-                               phi_batch)
+                               phi_batch, phi_dphi_batch)
         return _state_to_result(out, None)
 
     res = run(make_state(x0))
@@ -230,6 +237,7 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     n_shards = int(mesh.shape[d_axis])
     x0_batch = jnp.asarray(x0_batch)
     fused_tail = None
+    phi_dphi_batch = None
     pallas_shard = (cfg.use_pallas and n_shards > 1
                     and problem in SHARDED_PALLAS_PROBLEMS
                     and x0_batch.dtype == jnp.float32)
@@ -254,6 +262,11 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = shardmap_multi_phi(problem, mesh, d_orig, d_axis)
+        if cfg.line_search in ("wolfe_interpolation_speculative",
+                               "backtracking_wolfe_speculative") \
+                and cfg.ls_eval == "direct":
+            phi_dphi_batch = shardmap_multi_phi_dphi(problem, mesh, d_orig,
+                                                     d_axis)
         cfg = cfg.replace(use_pallas=False)
     else:
         f, vg, x0_batch, d_orig, dir_poly = _pad_for_mesh(
@@ -283,10 +296,11 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
         def one(state):
             if cfg.record_trace:
                 out, trace = _solve_traced(cfg, f, vg, state, dir_poly,
-                                           fused_tail, phi_batch)
+                                           fused_tail, phi_batch,
+                                           phi_dphi_batch)
                 return _state_to_result(out, trace)
             out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
-                                   phi_batch)
+                                   phi_batch, phi_dphi_batch)
             return _state_to_result(out, None)
 
         return jax.vmap(one, **vmap_kw)(states)

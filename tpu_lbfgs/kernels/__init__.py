@@ -9,5 +9,6 @@ from .pallas_ops import (
     iteration_tail,
     make_fused_tail,
     make_multi_phi,
+    make_multi_phi_dphi,
     pallas_ok,
 )

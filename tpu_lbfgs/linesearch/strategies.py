@@ -438,13 +438,287 @@ def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
     return LineSearchResult(jnp.where(done, result, alpha), n_fev, n_gev)
 
 
+# -----------------------------------------------------------------------------
+# 5b. Speculative strong-Wolfe: K-wide bracketing ladder + sequential zoom
+# -----------------------------------------------------------------------------
+
+def wolfe_interpolation_speculative(cfg: LBFGSConfig, phi: PhiFn,
+                                    phi_dphi: PhiDphiFn, f_x: Array,
+                                    g_dot_d: Array) -> LineSearchResult:
+    """Strong-Wolfe with the BRACKETING phase speculated K trials at a time.
+
+    The sequential search's bracketing phase is a pure-doubling walk (branch
+    3 with hi = inf doubles alpha, line_search.cpp:171-180 /
+    strategies.wolfe_interpolation branch 3) — a fixed ladder alpha0 *
+    2^[0..K) whose (phi, phi') values batch into ONE fused pass
+    (kernels.make_multi_phi_dphi; the solver's phi_dphi is vector-capable).
+    The ladder is resolved on scalars with the exact sequential branch
+    rules, so the produced bracket, zoom entry state, and final alpha are
+    IDENTICAL to ``wolfe_interpolation``'s; the data-dependent zoom then
+    proceeds one (also exact) trial at a time.  This completes the paper's
+    "multiple step sizes in parallel" idea (cuda_lbfgs.pdf §II) for the
+    Wolfe search it motivated — the reference's own Wolfe loop evaluates
+    one host-round-trip trial per step (L-BFGS-Wolfe.cu:276-349).
+
+    n_fev/n_gev count evaluations PERFORMED (K per bracketing pass), not the
+    sequential-equivalent trial count — same accounting as
+    ``backtracking_speculative``.
+    """
+    dtype = f_x.dtype
+    K = cfg.spec_width
+    cap = cfg.ls_max_iters
+    if cfg.safe_cubic:
+        _fixed = cfg.fidelity == "fixed"
+        interp = lambda *a: safe_cubic_interpolate(*a, fixed=_fixed)
+    elif cfg.fidelity == "fixed":
+        interp = cubic_interpolate_fixed
+    else:
+        interp = cubic_interpolate
+    inf = jnp.asarray(jnp.inf, dtype)
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+
+    def _ladder(base):
+        # Iterated doubling (exact in fp: *2 scales the exponent), matching
+        # the sequential walk's values bit-for-bit.
+        def mul(c, _):
+            return c * 2.0, c
+
+        _, als = lax.scan(mul, base, None, length=K)
+        return als
+
+    # --- Phase A: speculative bracketing -------------------------------------
+    # carry: (base, bracketing, done, result, alpha_z, lo, hi, f_lo, dphi_lo,
+    #         it, n_fev, n_gev)
+    def condA(c):
+        base, bracketing, done = c[0], c[1], c[2]
+        it = c[9]
+        return bracketing & ~done & (it < cap)
+
+    def bodyA(c):
+        (base, bracketing, done, result, alpha_z, lo, hi, f_lo, dphi_lo,
+         it, n_fev, n_gev) = c
+        alphas = _ladder(base)                    # (K,)
+        fs, dphis = phi_dphi(alphas)              # ONE fused K-trial pass
+        t_idx = jnp.arange(K, dtype=it.dtype)
+        it_t = it + t_idx
+        # Previous-node state per ladder position (node t-1's values; node 0
+        # sees the entering lo state).
+        f_prev = jnp.concatenate([f_lo[None], fs[:-1]])
+        dphi_prev = jnp.concatenate([dphi_lo[None], dphis[:-1]])
+        lo_prev = jnp.concatenate([lo[None], alphas[:-1]])
+
+        branch1 = (fs > f_x + cfg.c1 * alphas * g_dot_d) | \
+                  ((fs >= f_prev) & (it_t > 0))
+        accepted = ~branch1 & (jnp.abs(dphis) <= -cfg.c2 * g_dot_d)
+        branch2 = ~branch1 & ~accepted & (dphis >= 0)
+        cap_hit = it_t >= cap                     # sequential loop would have
+        #                                           exited before this trial
+        stop = branch1 | accepted | branch2 | cap_hit
+        any_stop = jnp.any(stop)
+        t = jnp.argmax(stop)                      # first stop index
+
+        a_t, f_t, dphi_t = alphas[t], fs[t], dphis[t]
+        lo_t, f_lo_t, dphi_lo_t = lo_prev[t], f_prev[t], dphi_prev[t]
+
+        # Outcomes at the stop node (cap_hit first: those trials never ran).
+        capped = cap_hit[t]
+        acc = ~capped & accepted[t]
+        b1 = ~capped & branch1[t]
+        b2 = ~capped & branch2[t]
+
+        grad_alpha = (f_t - f_x - g_dot_d * a_t) / (a_t * a_t)
+        a_b1 = interp(lo_t, a_t, f_lo_t, dphi_lo_t, f_t, grad_alpha)
+        a_b2 = interp(lo_t, a_t, f_lo_t, dphi_lo_t, f_t, dphi_t)
+        alpha_next = jnp.where(b1, a_b1, jnp.where(b2, a_b2, a_t))
+        # Floor check skipped on branch 1 (the reference's `continue`).
+        floor_hit = b2 & (alpha_next < cfg.interp_min)
+
+        done_now = any_stop & (acc | floor_hit | capped)
+        result_now = jnp.where(
+            acc, a_t,
+            jnp.where(floor_hit, jnp.asarray(cfg.interp_min, dtype),
+                      jnp.where(capped, a_t, result)))
+        enter_zoom = any_stop & (b1 | b2) & ~floor_hit
+
+        # No stop: the whole ladder was branch 3 — advance the walk by K.
+        tail_a, tail_f, tail_d = alphas[K - 1], fs[K - 1], dphis[K - 1]
+        base_next = jnp.where(any_stop, base, tail_a * 2.0)
+        lo_next = jnp.where(any_stop, jnp.where(enter_zoom, lo_t, lo), tail_a)
+        f_lo_next = jnp.where(any_stop,
+                              jnp.where(enter_zoom, f_lo_t, f_lo), tail_f)
+        dphi_lo_next = jnp.where(any_stop,
+                                 jnp.where(enter_zoom, dphi_lo_t, dphi_lo),
+                                 tail_d)
+        hi_next = jnp.where(enter_zoom, a_t, hi)
+        it_next = jnp.where(any_stop, jnp.minimum(it_t[t] + 1, cap), it + K)
+        it_next = jnp.where(capped, cap, it_next)
+        return (base_next, bracketing & ~any_stop, done_now, result_now,
+                jnp.where(enter_zoom, alpha_next, base_next), lo_next,
+                hi_next, f_lo_next, dphi_lo_next,
+                it_next.astype(it.dtype), n_fev + K, n_gev + K)
+
+    cA = (alpha0, jnp.bool_(True), jnp.bool_(False), alpha0, alpha0,
+          jnp.asarray(0.0, dtype), inf, f_x, g_dot_d, _i32(0), _i32(0),
+          _i32(0))
+    (base, bracketing, done, result, alpha_z, lo, hi, f_lo, dphi_lo, it,
+     n_fev, n_gev) = lax.while_loop(condA, bodyA, cA)
+
+    # --- Phase B: the exact sequential zoom from the speculated bracket ------
+    def condB(c):
+        return ~c[5] & (c[7] < cap)
+
+    def bodyB(carry):
+        (alpha, lo, hi, f_lo, dphi_lo, _, result, it, n_fev, n_gev) = carry
+        f_new, dphi_new = phi_dphi(alpha)
+        branch1 = (f_new > f_x + cfg.c1 * alpha * g_dot_d) | \
+                  ((f_new >= f_lo) & (it > 0))
+        grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
+        a_b1 = interp(lo, alpha, f_lo, dphi_lo, f_new, grad_alpha)
+        accepted = ~branch1 & (jnp.abs(dphi_new) <= -cfg.c2 * g_dot_d)
+        branch2 = ~branch1 & ~accepted & (dphi_new >= 0)
+        a_b2 = interp(lo, alpha, f_lo, dphi_lo, f_new, dphi_new)
+        branch3 = ~branch1 & ~accepted & ~branch2
+        a_b3 = jnp.where(jnp.isinf(hi), alpha * 2.0,
+                         interp(alpha, hi, f_new, dphi_new, f_new, dphi_new))
+        hi_next = jnp.where(branch1 | branch2, alpha, hi)
+        lo_next = jnp.where(branch3, alpha, lo)
+        f_lo_next = jnp.where(branch3, f_new, f_lo)
+        dphi_lo_next = jnp.where(branch3, dphi_new, dphi_lo)
+        alpha_next = jnp.where(branch1, a_b1,
+                               jnp.where(branch2, a_b2,
+                                         jnp.where(branch3, a_b3, alpha)))
+        floor_hit = ~branch1 & ~accepted & (alpha_next < cfg.interp_min)
+        done = accepted | floor_hit
+        result = jnp.where(
+            accepted, alpha,
+            jnp.where(floor_hit, jnp.asarray(cfg.interp_min, dtype), result))
+        return (alpha_next, lo_next, hi_next, f_lo_next, dphi_lo_next, done,
+                result, it + 1, n_fev + 1, n_gev + (~branch1).astype(jnp.int32))
+
+    cB = (alpha_z, lo, hi, f_lo, dphi_lo, done, result, it, n_fev, n_gev)
+    alpha, _, _, _, _, done, result, _, n_fev, n_gev = lax.while_loop(
+        condB, bodyB, cB)
+    return LineSearchResult(jnp.where(done, result, alpha), n_fev, n_gev)
+
+
+# -----------------------------------------------------------------------------
+# 2b. Speculative backtracking-Wolfe: shrink/grow walk speculated as a tree
+# -----------------------------------------------------------------------------
+
+def backtracking_wolfe_speculative(cfg: LBFGSConfig, phi: PhiFn,
+                                   phi_dphi: PhiDphiFn, f_x: Array,
+                                   g_dot_d: Array) -> LineSearchResult:
+    """``backtracking_wolfe`` with its multiplicative walk speculated.
+
+    The sequential walk moves alpha -> alpha*shrink (Armijo fail) or
+    alpha*grow (curvature fail) or accepts: after R steps the reachable
+    states are exactly base * shrink^i * grow^j with i + j <= R — a
+    triangular tree of (R+1)(R+2)/2 nodes whose (phi, phi') values batch
+    into ONE fused pass.  The walk is then resolved on scalars with the
+    sequential rules, advancing up to R real steps per pass with exact
+    alpha parity (fp too: multiplying by shrink=0.5 is exact, so the
+    product's rounding sequence is interleaving-independent).
+
+    R = cfg.spec_width - 1 kept small (default 8 -> 36 trials; pass
+    spec_width=4 for 10 trials if VPU-bound at small d).
+    """
+    dtype = f_x.dtype
+    R = max(1, cfg.spec_width - 1)
+    cap = cfg.ls_safety_cap
+    # Triangular node table in walk order; flat index of (i shrinks, j grows).
+    pairs = [(i, j) for i in range(R + 1) for j in range(R + 1 - i)]
+    flat = {p: t for t, p in enumerate(pairs)}
+    K = len(pairs)
+    idx_shrink = jnp.asarray([flat.get((i + 1, j), 0) for i, j in pairs],
+                             jnp.int32)
+    idx_grow = jnp.asarray([flat.get((i, j + 1), 0) for i, j in pairs],
+                           jnp.int32)
+    can_shrink = jnp.asarray([(i + 1, j) in flat for i, j in pairs])
+    can_grow = jnp.asarray([(i, j + 1) in flat for i, j in pairs])
+
+    def _tree(base):
+        # alphas[flat(i, j)] = base * shrink^i * grow^j with the sequential
+        # walk's exact rounding chain.  The grow chain MUST be a lax.scan:
+        # an unrolled (base*1.1)*1.1 chain gets constant-folded by XLA into
+        # base*(1.1*1.1) — a 1-ulp difference that breaks bit parity with
+        # the sequential loop (measured; same reason _ladder above scans).
+        # The shrink halvings are exact (*0.5 scales the exponent) and
+        # interleave-invariant, so applying them after the grows reproduces
+        # any shrink/grow path's value bit-for-bit.
+        def mul(c, _):
+            return c * cfg.grow, c
+
+        _, grows = lax.scan(mul, base, None, length=R + 1)
+        vals = []
+        for i, j in pairs:
+            v = grows[j]
+            for _ in range(i):
+                v = v * cfg.shrink
+            vals.append(v)
+        return jnp.stack(vals)
+
+    def cond(c):
+        done, it = c[1], c[2]
+        return ~done & (it < cap)
+
+    def body(c):
+        base, _, it, alpha_cur, n_fev, n_gev = c
+        alphas = _tree(base)                       # (K,)
+        fs, dphis = phi_dphi(alphas)               # ONE fused K-trial pass
+        armijo_fail = fs > f_x + cfg.c1 * alphas * g_dot_d
+        curv_fail = dphis < cfg.c2 * g_dot_d
+
+        # Resolve the walk on scalars: each live step replays one sequential
+        # iteration exactly; `repass` marks a move whose child lies outside
+        # the evaluated tree (resume from its value next pass).
+        def step(s, _):
+            t, done, it_s, alpha_s, repass, base_n = s
+            live = ~done & ~repass & (it_s < cap)
+            af, cf = armijo_fail[t], curv_fail[t]
+            acc = ~af & ~cf
+            a_here = alphas[t]
+            move_shrink = af
+            move_grow = ~af & cf
+            a_next = jnp.where(
+                move_shrink, a_here * cfg.shrink,
+                jnp.where(move_grow, a_here * cfg.grow, a_here))
+            underflow = ~acc & (a_next < cfg.backtracking_tol)
+            new_done = acc | underflow
+            child_in = jnp.where(move_shrink, can_shrink[t],
+                                 jnp.where(move_grow, can_grow[t],
+                                           jnp.bool_(False)))
+            t_next = jnp.where(move_shrink, idx_shrink[t],
+                               jnp.where(move_grow, idx_grow[t], t))
+            return (jnp.where(live & ~new_done & child_in,
+                              t_next, t).astype(jnp.int32),
+                    jnp.where(live, new_done, done),
+                    it_s + live.astype(it_s.dtype),
+                    jnp.where(live, a_next, alpha_s),
+                    repass | (live & ~new_done & ~child_in),
+                    jnp.where(live & ~new_done, a_next, base_n)), None
+
+        init = (_i32(0), jnp.bool_(False), it, alpha_cur, jnp.bool_(False),
+                base)
+        (t_end, done_w, it_end, alpha_end, repass, base_next), _ = lax.scan(
+            step, init, None, length=R + 1)
+        return (base_next, done_w, it_end, alpha_end, n_fev + K, n_gev + K)
+
+    alpha0 = jnp.asarray(cfg.initial_step, dtype)
+    base, done, it, alpha, n_fev, n_gev = lax.while_loop(
+        cond, body, (alpha0, jnp.bool_(False), _i32(0), alpha0, _i32(0),
+                     _i32(0)))
+    return LineSearchResult(alpha, n_fev, n_gev)
+
+
 _STRATEGIES = {
     "backtracking": backtracking,
     "backtracking_speculative": backtracking_speculative,
     "backtracking_wolfe": backtracking_wolfe,
+    "backtracking_wolfe_speculative": backtracking_wolfe_speculative,
     "backtracking_wolfe_bisect": backtracking_wolfe_bisect,
     "armijo_interpolation": armijo_interpolation,
     "wolfe_interpolation": wolfe_interpolation,
+    "wolfe_interpolation_speculative": wolfe_interpolation_speculative,
 }
 
 

@@ -226,6 +226,19 @@ def multi_phi_for(name: str, use_pallas: bool = True):
     return make_multi_phi(name, get_problem(name).f, use_pallas=use_pallas)
 
 
+def multi_phi_dphi_for(name: str, use_pallas: bool = True):
+    """Batched (phi, phi') trial evaluator phi_dphi_batch(x, d, alphas) ->
+    ((K,), (K,)): all K trial objectives AND directional derivatives in one
+    fused pass over (x, d).  Pass as ``phi_dphi_batch=`` to minimize()/solve
+    for the speculative Wolfe searches
+    (line_search="wolfe_interpolation_speculative" /
+    "backtracking_wolfe_speculative") under ls_eval="direct"."""
+    from ..kernels import make_multi_phi_dphi
+
+    return make_multi_phi_dphi(name, get_problem(name).value_and_grad,
+                               use_pallas=use_pallas)
+
+
 def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
     """Whether the fused tail should compute the history matvecs in-kernel.
 
