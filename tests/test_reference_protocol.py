@@ -179,3 +179,27 @@ def test_cell_rate_keeps_mixed_cells_partial_data():
     assert used == 1 and abs(rate - 100.0) < 1e-9   # only the iterated seed
     assert _cell_rate(dead) == (None, 0)
     assert _cell_rate(skipped) == (None, 0)
+
+
+def test_f64_cell_segmented_path(monkeypatch):
+    """Large-d emulated-f64 cells run via bounded segments (the worker-crash
+    workaround; scripts/f64_crash_repro.py): same results as the monolithic
+    path, exercised here on CPU with the threshold lowered."""
+    import tpu_lbfgs.bench.reference_protocol as rp
+
+    cell_mono = rp.run_tpu_cell("rosenbrock", 2048, "backtracking",
+                                seeds=(42,), dtype="float64",
+                                budget_s=120.0, use_pallas=False)
+    monkeypatch.setattr(rp, "F64_SEGMENT_THRESHOLD", 1024)
+    cell_seg = rp.run_tpu_cell("rosenbrock", 2048, "backtracking",
+                               seeds=(42,), dtype="float64",
+                               budget_s=120.0, use_pallas=False)
+    assert cell_seg["backend"] == "tpu-f64-seqcfg"
+    assert cell_seg["statuses"] == cell_mono["statuses"]
+    # The segmented body is a separately-compiled program: different fusion,
+    # different fp rounding, so a 10k-iteration trajectory may differ by a
+    # handful of iterations (observed ~0.1%) — same algorithm, same quality.
+    assert abs(cell_seg["mean_iterations"] - cell_mono["mean_iterations"]) \
+        <= 0.01 * cell_mono["mean_iterations"]
+    assert cell_seg["max_final_g_norm"] <= 10 * cell_mono["max_final_g_norm"] \
+        or cell_seg["max_final_g_norm"] < 1e-6

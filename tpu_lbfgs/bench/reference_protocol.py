@@ -53,6 +53,10 @@ TABLE_I_STRATEGIES = (
 # continues at 20,000" (cuda_lbfgs.pdf §IV-A) — the published-shape grid.
 DIMS = (10_000, 20_000, 100_000, 1 << 20)
 
+# Emulated-f64 cells at or above this dimension run segmented (worker-crash
+# workaround; see scripts/f64_crash_repro.py and PERFORMANCE.md f64 grid).
+F64_SEGMENT_THRESHOLD = 50_000
+
 def _status_name(s) -> str:
     from ..types import Status
 
@@ -182,10 +186,43 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
         fused_tail = None
     dir_poly = None
 
-    @jax.jit
-    def run(x0):
-        st = init_state(vg, x0, cfg.m, cfg.history_dtype)
-        return solve_from_state(cfg, p.f, vg, st, dir_poly, fused_tail)
+    if dtype == "float64" and d >= F64_SEGMENT_THRESHOLD:
+        # Worker-crash workaround (scripts/f64_crash_repro.py): the
+        # MONOLITHIC whole-solve while_loop under x64 emulation kills the
+        # TPU worker at d=1e5 (reproduced at max_iters=200; a single
+        # iteration and the SAME iterations run segmented both complete),
+        # so large-d f64 cells run in bounded segments with a host sync
+        # between chunks.  Same algorithm; the separately-compiled segment
+        # body rounds differently (fusion), so long trajectories may differ
+        # by ~0.1% iterations.  ~30 ms dispatch per segment.
+        from ..core.solver import make_solve_segment
+
+        seg = make_solve_segment(cfg, p.f, value_and_grad=vg, iters=500,
+                                 donate=True)
+
+        def run(x0):
+            from ..types import Status
+
+            # Copy: the segment donates its input state, whose x leaf IS the
+            # caller's x0 buffer (init_state stores it as-is) — the caller
+            # re-runs with the same x0 for compile timing.
+            st = init_state(vg, jnp.array(x0, copy=True), cfg.m,
+                            cfg.history_dtype)
+            while True:
+                st = seg(st)
+                if int(st.status) != Status.RUNNING \
+                        or int(st.k) >= cfg.max_iters \
+                        or float(st.g_norm) < cfg.tol:
+                    return st._replace(
+                        status=jnp.where(
+                            st.status != Status.RUNNING, st.status,
+                            jnp.where(st.g_norm < cfg.tol, Status.CONVERGED,
+                                      Status.MAX_ITERS)).astype(jnp.int32))
+    else:
+        @jax.jit
+        def run(x0):
+            st = init_state(vg, x0, cfg.m, cfg.history_dtype)
+            return solve_from_state(cfg, p.f, vg, st, dir_poly, fused_tail)
 
     walls, iters, fs, gnorms, statuses = [], [], [], [], []
     compile_s = None
