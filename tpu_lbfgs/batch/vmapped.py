@@ -24,23 +24,27 @@ from ..core.solver import (
     _state_to_result,
     init_state,
     make_value_and_grad,
+    solve_bounded,
     solve_from_state,
 )
 from ..types import SolveResult
 
 
-def _solve_one(cfg, fp, vg, x0, dp):
+def _solve_one(cfg, fp, vg, x0, dp, lockstep="while"):
     state = init_state(vg, x0, cfg.m, cfg.history_dtype)
     if cfg.record_trace:
         out, trace = _solve_traced(cfg, fp, vg, state, dp)
         return _state_to_result(out, trace)
-    out = solve_from_state(cfg, fp, vg, state, dp)
+    if lockstep == "bounded":
+        out = solve_bounded(cfg, fp, vg, state, dp)
+    else:
+        out = solve_from_state(cfg, fp, vg, state, dp)
     return _state_to_result(out, None)
 
 
 @lru_cache(maxsize=128)
 def _compiled_vmap_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
-                       with_params: bool):
+                       with_params: bool, lockstep: str = "while"):
     """Jitted batched-solve factory, cached on the configuration and the
     callables' identities (same pattern as core.solver._compiled_run):
     sweep loops calling vmap_minimize repeatedly with stable function
@@ -54,12 +58,12 @@ def _compiled_vmap_run(cfg: LBFGSConfig, f, grad, value_and_grad, dir_poly,
                 if value_and_grad is not None else None
             vg = make_value_and_grad(fp, gp, vgp)
             dp = (lambda x, d: dir_poly(x, d, params)) if dir_poly else None
-            return _solve_one(cfg, fp, vg, x0, dp)
+            return _solve_one(cfg, fp, vg, x0, dp, lockstep)
     else:
         vg = make_value_and_grad(f, grad, value_and_grad)
 
         def run_one(x0):
-            return _solve_one(cfg, f, vg, x0, dir_poly)
+            return _solve_one(cfg, f, vg, x0, dir_poly, lockstep)
 
     return jax.jit(jax.vmap(run_one))
 
@@ -68,7 +72,7 @@ def vmap_minimize(f: Callable, x0_batch: Array,
                   cfg: LBFGSConfig = LBFGSConfig(),
                   grad=None, value_and_grad=None,
                   problem_params: Optional[Array] = None,
-                  dir_poly=None) -> SolveResult:
+                  dir_poly=None, lockstep: str = "while") -> SolveResult:
     """Solve B independent instances in lockstep on one chip.
 
     Args:
@@ -81,11 +85,20 @@ def vmap_minimize(f: Callable, x0_batch: Array,
     (including a per-lane trace when cfg.record_trace — NOTE the traced
     formulation runs all cfg.max_iters scan steps, as in minimize()).
 
+    lockstep: "while" (default) freezes each lane the moment it finishes —
+    the vmapped while_loop, whose lane masking costs a full-state select per
+    iteration; "bounded" runs every lane for exactly cfg.max_iters cond-free
+    iterations (solve_bounded: +37% measured at B=4096 x d=1024; failed
+    lanes identical, early-converging lanes keep polishing past tol).
+
     Repeat calls with the same cfg and stable callable references reuse the
     compiled batched program.
     """
+    if lockstep not in ("while", "bounded"):
+        raise ValueError(f"lockstep must be 'while' or 'bounded', "
+                         f"got {lockstep!r}")
     run = _compiled_vmap_run(cfg, f, grad, value_and_grad, dir_poly,
-                             problem_params is not None)
+                             problem_params is not None, lockstep)
     if problem_params is not None:
         return run(jnp.asarray(x0_batch), problem_params)
     return run(jnp.asarray(x0_batch))

@@ -258,7 +258,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # Armijo (line_search.cpp:24) can accept genuine increases.  The C++
     # reference would silently continue on garbage; here the lane freezes at
     # its last finite state with LINE_SEARCH_FAILED.
-    failed = step_failed | ~jnp.isfinite(f_new) | ~jnp.isfinite(gg_new)
+    # ``~RUNNING`` folds into the freeze so finished lanes are frozen even if
+    # their recomputation were somehow non-deterministic (see the idempotence
+    # note at the guard-counter block below).
+    failed = (step_failed | ~jnp.isfinite(f_new) | ~jnp.isfinite(gg_new)
+              | (state.status != Status.RUNNING))
     store = ~failed & (sy > cfg.curvature_threshold)
 
     slot = (state.n_pairs % m).astype(jnp.int32)
@@ -334,7 +338,15 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # --- safeguard-activation counters (types.Guard): the device-side
     # replacement for the reference's per-event warnings (lbfgs.cpp:105,121,
     # 150,194; parallel line_search.cpp:38-41) --------------------------------
-    b2i = lambda b: jnp.asarray(b, jnp.int32)
+    # ``active`` gates every scalar-counter advance: a lane whose status is
+    # already terminal re-freezes its x/f/g/history deterministically when
+    # iterate runs again (the same failing search repeats), so gating the
+    # counters makes iterate IDEMPOTENT on finished lanes — which lets
+    # bounded (cond-free) batch loops skip the vmapped while_loop's
+    # per-iteration full-state masking (batch.vmapped lockstep="bounded").
+    # In the single-instance while_loop path active is always True.
+    active = state.status == Status.RUNNING
+    b2i = lambda b: jnp.asarray(b & active, jnp.int32)
     guards = state.guards + jnp.stack([
         # Empty-history steepest descent is the normal start, not a warning
         # event (the reference warns only on invalid rho/gamma,
@@ -342,7 +354,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         b2i(dir_fallback & (state.hist_len > 0)),
         b2i(not_descent),
         b2i(~failed & (sy <= cfg.curvature_threshold)),
-        jnp.asarray(ls.rescued, jnp.int32),
+        jnp.asarray(ls.rescued, jnp.int32) * active.astype(jnp.int32),
         b2i(failed),
     ])
 
@@ -363,19 +375,21 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         Sg=Sg_next,
         Yg=Yg_next,
         n_pairs=state.n_pairs + store.astype(jnp.int32),
-        k=state.k + 1,
-        status=jnp.where(failed, Status.LINE_SEARCH_FAILED,
-                         Status.RUNNING).astype(jnp.int32),
-        alpha=alpha,
+        k=state.k + active.astype(jnp.int32),
+        status=jnp.where(active,
+                         jnp.where(failed, Status.LINE_SEARCH_FAILED,
+                                   Status.RUNNING),
+                         state.status).astype(jnp.int32),
+        alpha=jnp.where(active, alpha, state.alpha),
         # The reference evaluates f once more after the search (lbfgs.cpp:161)
         # and grad once (lbfgs.cpp:171); our fused vg counts one of each.
         # In polynomial mode the search's trials are O(1) scalar evaluations,
         # not objective/gradient evaluations — only the single dir_poly
         # coefficient pass (~1 f-eval of memory traffic) is charged.
-        n_fev=state.n_fev + 1
-        + (ls.n_fev if cfg.ls_eval == "direct" else 1),
-        n_gev=state.n_gev + 1
-        + (ls.n_gev if cfg.ls_eval == "direct" else 0),
+        n_fev=state.n_fev + active.astype(jnp.int32)
+        * (1 + (ls.n_fev if cfg.ls_eval == "direct" else 1)),
+        n_gev=state.n_gev + active.astype(jnp.int32)
+        * (1 + (ls.n_gev if cfg.ls_eval == "direct" else 0)),
         guards=guards,
     )
 
@@ -447,6 +461,45 @@ def solve_from_state(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         out = lax.while_loop(partial(_running, cfg), segment, state)
     else:
         out = lax.while_loop(partial(_running, cfg), body, state)
+    return out._replace(status=_finalize_status(cfg, out))
+
+
+def solve_bounded(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
+                  state: LBFGSState, dir_poly=None, fused_tail=None,
+                  phi_batch=None, phi_dphi_batch=None) -> LBFGSState:
+    """Cond-free fixed-budget solve: exactly ``cfg.max_iters`` lockstep
+    iterations with NO per-iteration convergence condition.
+
+    Under ``jax.vmap`` this is the fast batch formulation: a vmapped
+    ``lax.while_loop`` pays a full-state select on every leaf every
+    iteration to freeze finished lanes (+27% measured at B=4096 x d=1024),
+    which a bounded loop skips entirely — safe because ``iterate`` is
+    idempotent on terminal lanes (failed lanes re-freeze deterministically
+    and every counter advance is gated on RUNNING).
+
+    Semantics vs the while_loop solve: line-search-failed lanes produce
+    IDENTICAL results; lanes that would have converged early keep
+    iterating to the budget (their f only improves past tol) — use this for
+    fixed-budget workloads (tol=0 benches, lockstep sweeps) or when extra
+    polish is acceptable.  cfg.refresh_interval is honored with statically
+    unrolled segment boundaries.
+    """
+    body = lambda _, s: iterate(cfg, f, vg, s, dir_poly, fused_tail,
+                                phi_batch, phi_dphi_batch)
+    interval = (cfg.refresh_interval
+                if (cfg.refresh_interval is not None
+                    and cfg.direction == "compact_incremental") else None)
+    if interval is None or interval >= cfg.max_iters:
+        out = lax.fori_loop(0, cfg.max_iters, body, state)
+    else:
+        out = state
+        done = 0
+        while done < cfg.max_iters:
+            step = min(interval, cfg.max_iters - done)
+            out = lax.fori_loop(0, step, body, out)
+            done += step
+            if done < cfg.max_iters:
+                out = refresh_products(out)
     return out._replace(status=_finalize_status(cfg, out))
 
 
