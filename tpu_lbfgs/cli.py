@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="x0 ~ U(-r, r); the reference driver uses 1000")
     ap.add_argument("--batch", type=int, default=0,
                     help="solve N independent instances vmapped (0 = single)")
+    ap.add_argument("--lockstep", default="while",
+                    choices=["while", "bounded"],
+                    help="batch loop mode: 'while' freezes lanes as they "
+                         "finish; 'bounded' runs the full --max-iters budget "
+                         "cond-free (+38%% measured at 4096x1024; "
+                         "early-converging lanes keep polishing)")
     ap.add_argument("--shard", action="store_true",
                     help="shard the vector over all devices (mesh on d axis)")
     ap.add_argument("--backend", default="jax", choices=["jax", "native"],
@@ -181,7 +187,8 @@ def main(argv=None) -> int:
             x0s = jnp.asarray(rng.uniform(-args.x0_range, args.x0_range,
                                           (args.batch, args.dim)), dtype)
             res = vmap_minimize(p.f, x0s, cfg, grad=p.grad,
-                                dir_poly=p.dir_poly if args.poly_ls else None)
+                                dir_poly=p.dir_poly if args.poly_ls else None,
+                                lockstep=args.lockstep)
             wall = time.perf_counter() - t0
             st = np.asarray(res.status)
             rec = {"seed": seed, "batch": args.batch,
