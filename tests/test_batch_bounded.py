@@ -100,3 +100,30 @@ def test_bad_lockstep_rejected():
     with pytest.raises(ValueError, match="lockstep"):
         vmap_minimize(p.f, jnp.zeros((2, 16)), LBFGSConfig(), grad=p.grad,
                       lockstep="nope")
+
+
+def test_bounded_lockstep_on_2d_mesh():
+    """lockstep="bounded" through sharded_vmap_minimize (the dp x tp stack):
+    matches the while-loop batched+sharded solve on a fixed budget."""
+    import warnings
+
+    from tpu_lbfgs.dist import make_mesh_2d, sharded_vmap_minimize
+
+    p = get_problem("rosenbrock")
+    mesh2 = make_mesh_2d(batch_size=2)
+    x0s = jnp.asarray(np.random.default_rng(5).uniform(-2, 2, (4, 8192)),
+                      jnp.float32)
+    cfg = LBFGSConfig(line_search="backtracking",
+                      direction="compact_incremental", ls_eval="polynomial",
+                      max_iters=15, tol=0.0, use_pallas=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r_w = sharded_vmap_minimize(p.f, x0s, cfg, mesh=mesh2, grad=p.grad,
+                                    dir_poly=p.dir_poly, problem="rosenbrock")
+        r_b = sharded_vmap_minimize(p.f, x0s, cfg, mesh=mesh2, grad=p.grad,
+                                    dir_poly=p.dir_poly, problem="rosenbrock",
+                                    lockstep="bounded")
+    np.testing.assert_array_equal(np.asarray(r_w.iterations),
+                                  np.asarray(r_b.iterations))
+    np.testing.assert_allclose(np.asarray(r_w.f), np.asarray(r_b.f),
+                               rtol=1e-6)

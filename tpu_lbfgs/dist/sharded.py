@@ -26,6 +26,7 @@ from ..core.solver import (
     init_state,
     make_value_and_grad,
     resolve_history_dtype,
+    solve_bounded,
     solve_from_state,
 )
 from ..types import SolveResult
@@ -216,10 +217,16 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
                           value_and_grad=None, batch_axis: str = "b",
                           d_axis: str = "d", dir_poly=None,
                           problem: Optional[str] = None,
-                          with_matvec="auto") -> SolveResult:
+                          with_matvec="auto",
+                          lockstep: str = "while") -> SolveResult:
     """Batched AND sharded: instance batch split over the DP-like mesh axis,
     each instance's vector split over the d axis.  This is the full 2-D
     parallelism story (dp x tp analogue) for the optimizer.
+
+    ``lockstep``: "bounded" runs every instance for the full max_iters
+    budget cond-free (batch.vmapped semantics — skips the vmapped
+    while_loop's per-iteration lane masking); "while" (default) freezes
+    lanes as they finish.
 
     ``problem``: as in sharded_minimize — with ``cfg.use_pallas``, an f32
     batch, and a suite problem name, the per-shard fused Pallas kernels run
@@ -299,8 +306,10 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
                                            fused_tail, phi_batch,
                                            phi_dphi_batch)
                 return _state_to_result(out, trace)
-            out = solve_from_state(cfg, f, vg, state, dir_poly, fused_tail,
-                                   phi_batch, phi_dphi_batch)
+            solve = solve_bounded if lockstep == "bounded" \
+                else solve_from_state
+            out = solve(cfg, f, vg, state, dir_poly, fused_tail,
+                        phi_batch, phi_dphi_batch)
             return _state_to_result(out, None)
 
         return jax.vmap(one, **vmap_kw)(states)
