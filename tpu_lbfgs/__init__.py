@@ -20,6 +20,7 @@ from .core.solver import (
     finalize_result,
     make_solve_segment,
     refresh_products,
+    solve_bounded,
     solve_from_state,
 )
 from .problems.suite import (
@@ -63,6 +64,7 @@ __all__ = [
     "finalize_result",
     "make_solve_segment",
     "refresh_products",
+    "solve_bounded",
     "solve_from_state",
     "__version__",
 ]
