@@ -81,7 +81,8 @@ def main() -> int:
     vgq = make_value_and_grad(pq.f, pq.grad)
     st_sh = state_shardings(mesh)
     make = jax.jit(lambda x: init_state(vgq, x, 5), out_shardings=st_sh)
-    x0q = jax.device_put(np.linspace(-1.0, 1.0, 1024),
+    # d scales with the job so the (R, 128) history rows divide the mesh.
+    x0q = jax.device_put(np.linspace(-1.0, 1.0, 128 * 8 * n_dev),
                          jax.sharding.NamedSharding(mesh, P("d")))
     st = make(x0q)
     save_state_sharded(ck_dir, st)
