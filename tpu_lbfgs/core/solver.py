@@ -492,14 +492,18 @@ def solve_bounded(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     if interval is None or interval >= cfg.max_iters:
         out = lax.fori_loop(0, cfg.max_iters, body, state)
     else:
-        out = state
-        done = 0
-        while done < cfg.max_iters:
-            step = min(interval, cfg.max_iters - done)
-            out = lax.fori_loop(0, step, body, out)
-            done += step
-            if done < cfg.max_iters:
-                out = refresh_products(out)
+        # Nested fori (NOT a Python chunk loop — 15000/250 would unroll 60
+        # segment bodies into the program): n_full segments with a refresh
+        # after each, then the remainder.
+        n_full, rem = divmod(cfg.max_iters, interval)
+
+        def segment(_, s):
+            s = lax.fori_loop(0, interval, body, s)
+            return refresh_products(s)
+
+        out = lax.fori_loop(0, n_full, segment, state)
+        if rem:
+            out = lax.fori_loop(0, rem, body, out)
     return out._replace(status=_finalize_status(cfg, out))
 
 
