@@ -85,12 +85,12 @@ def main() -> int:
     x0q = jax.device_put(np.linspace(-1.0, 1.0, 128 * 8 * n_dev),
                          jax.sharding.NamedSharding(mesh, P("d")))
     st = make(x0q)
+    # save_state_sharded is collective in multi-process jobs: it barriers
+    # internally so every shard file is durable before process 0 publishes
+    # index.json, and again before returning — no caller-side sync needed.
     save_state_sharded(ck_dir, st)
-    # Barrier: process 0 writes index.json last; both processes' shard files
-    # must exist before either loads.
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("ckpt-written")
     st2 = load_state_sharded(ck_dir, mesh)
+    from jax.experimental import multihost_utils
     for f_name in ("x", "g", "s_hist"):
         a = getattr(st, f_name).addressable_shards
         b = getattr(st2, f_name).addressable_shards

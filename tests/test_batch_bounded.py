@@ -127,3 +127,24 @@ def test_bounded_lockstep_on_2d_mesh():
                                   np.asarray(r_b.iterations))
     np.testing.assert_allclose(np.asarray(r_w.f), np.asarray(r_b.f),
                                rtol=1e-6)
+
+
+def test_bounded_with_record_trace_rejected():
+    """Regression (r4 review): lockstep='bounded' + record_trace would
+    silently run while-mode semantics; both batch entry points refuse."""
+    from tpu_lbfgs.dist import make_mesh_2d, sharded_vmap_minimize
+
+    p = get_problem("quadratic")
+    cfg = LBFGSConfig(max_iters=10, record_trace=True)
+    with pytest.raises(ValueError, match="record_trace"):
+        vmap_minimize(p.f, jnp.zeros((2, 16)), cfg, grad=p.grad,
+                      lockstep="bounded")
+    with pytest.raises(ValueError, match="record_trace"):
+        sharded_vmap_minimize(p.f, jnp.zeros((4, 1024)), cfg, grad=p.grad,
+                              mesh=make_mesh_2d(batch_size=2),
+                              lockstep="bounded")
+    with pytest.raises(ValueError, match="lockstep"):
+        sharded_vmap_minimize(p.f, jnp.zeros((4, 1024)),
+                              LBFGSConfig(max_iters=10), grad=p.grad,
+                              mesh=make_mesh_2d(batch_size=2),
+                              lockstep="bound")

@@ -189,3 +189,31 @@ def test_speculative_wolfe_sharded():
             mesh=mesh, grad=p.grad, problem="rosenbrock")
     assert abs(int(r_spec.iterations) - int(r_seq.iterations)) <= 1
     np.testing.assert_allclose(float(r_spec.f), float(r_seq.f), rtol=5e-3)
+
+
+def test_wolfe_speculative_subfloor_initial_step_parity():
+    """Regression (r4 review): a branch-3 doubling node can itself floor out
+    (alpha*2 < interp_min) when initial_step is below the floor; the ladder
+    must stop there exactly like the sequential loop."""
+    cfg = LBFGSConfig(line_search="wolfe_interpolation", c2=0.9,
+                      initial_step=2.5e-11)      # < interp_min = 1e-10
+    phi, phi_dphi = _poly_phi_dphi([1.0, -1.0, 0.005])
+    f_x = phi(jnp.asarray(0.0))
+    gdd = phi_dphi(jnp.asarray(0.0))[1]
+    seq = wolfe_interpolation(cfg, phi, phi_dphi, f_x, gdd)
+    spec = wolfe_interpolation_speculative(cfg, phi, phi_dphi, f_x, gdd)
+    assert float(spec.alpha) == float(seq.alpha) == cfg.interp_min
+
+
+def test_backtracking_wolfe_speculative_non_pow2_shrink_delegates():
+    """Regression (r4 review): for a non-power-of-two shrink the tree cannot
+    reproduce the walk's fp rounding; the speculative variant must delegate
+    to the sequential search (parity preserved by construction)."""
+    cfg = LBFGSConfig(line_search="backtracking_wolfe", c2=0.9, shrink=0.9)
+    phi, phi_dphi = _poly_phi_dphi([1.0, -0.1, 2.0])
+    f_x = phi(jnp.asarray(0.0))
+    gdd = phi_dphi(jnp.asarray(0.0))[1]
+    seq = backtracking_wolfe(cfg, phi, phi_dphi, f_x, gdd)
+    spec = backtracking_wolfe_speculative(cfg, phi, phi_dphi, f_x, gdd)
+    assert float(spec.alpha) == float(seq.alpha)
+    assert int(spec.n_fev) == int(seq.n_fev)     # delegated, not speculated

@@ -97,6 +97,13 @@ def vmap_minimize(f: Callable, x0_batch: Array,
     if lockstep not in ("while", "bounded"):
         raise ValueError(f"lockstep must be 'while' or 'bounded', "
                          f"got {lockstep!r}")
+    if lockstep == "bounded" and cfg.record_trace:
+        # The traced scan freezes lanes at convergence (while semantics);
+        # silently dropping the requested bounded polish would return
+        # different f/x than the untraced bounded run.
+        raise ValueError("lockstep='bounded' is incompatible with "
+                         "cfg.record_trace (the traced scan freezes "
+                         "finished lanes); trace with lockstep='while'")
     run = _compiled_vmap_run(cfg, f, grad, value_and_grad, dir_poly,
                              problem_params is not None, lockstep)
     if problem_params is not None:

@@ -481,8 +481,15 @@ def solve_bounded(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     IDENTICAL results; lanes that would have converged early keep
     iterating to the budget (their f only improves past tol) — use this for
     fixed-budget workloads (tol=0 benches, lockstep sweeps) or when extra
-    polish is acceptable.  cfg.refresh_interval is honored with statically
-    unrolled segment boundaries.
+    polish is acceptable.  cfg.refresh_interval is honored via nested fori
+    segments.
+
+    NOTE resume semantics: the budget is RELATIVE to the given state — this
+    runs exactly cfg.max_iters MORE iterations (fori length is static; it
+    cannot subtract a traced state.k), so a state resumed at k=k0 finishes
+    at k0 + max_iters and its refresh boundaries land at k0-relative
+    multiples.  For checkpoint resume that must respect the global cap and
+    the absolute refresh schedule, use solve_from_state.
     """
     body = lambda _, s: iterate(cfg, f, vg, s, dir_poly, fused_tail,
                                 phi_batch, phi_dphi_batch)

@@ -239,6 +239,13 @@ def sharded_vmap_minimize(f: Callable, x0_batch,
     if mesh is None:
         raise ValueError("sharded_vmap_minimize requires an explicit 2-D mesh "
                          "(make_mesh_2d)")
+    if lockstep not in ("while", "bounded"):
+        raise ValueError(f"lockstep must be 'while' or 'bounded', "
+                         f"got {lockstep!r}")
+    if lockstep == "bounded" and cfg.record_trace:
+        raise ValueError("lockstep='bounded' is incompatible with "
+                         "cfg.record_trace (the traced scan freezes "
+                         "finished lanes); trace with lockstep='while'")
     vg = make_value_and_grad(f, grad, value_and_grad)
 
     n_shards = int(mesh.shape[d_axis])

@@ -111,11 +111,14 @@ def save_state_sharded(dir_path, state: LBFGSState) -> None:
     """Write this process's addressable shards of a (possibly distributed)
     state under ``dir_path`` — no host gather, no non-addressable access.
 
-    Every process of a multi-host job calls this with the SAME dir_path;
-    process 0 additionally writes ``index.json`` (chunk -> global slice map,
-    the commit marker).  Only replica-0 shards are stored, so replicated
-    leaves (scalars, ring metadata) are written once per process, and
-    vector/history leaves exactly tile the global array across the job.
+    Every process of a multi-host job calls this with the SAME dir_path
+    (the call is COLLECTIVE in multi-process jobs: a barrier orders every
+    shard write before process 0 publishes ``index.json``, the commit
+    marker).  Each process stores one copy of every DISTINCT slice it can
+    address (duplicate replicas deduped within the process, not across), so
+    replicated leaves (scalars, ring metadata) appear in every process's
+    file — a same-layout restore works from per-host local disks — while
+    vector/history leaves tile the global array across the job.
     """
     import jax
 
@@ -129,17 +132,20 @@ def save_state_sharded(dir_path, state: LBFGSState) -> None:
         gdtype = str(np.dtype(jarr.dtype)) if np.dtype(jarr.dtype).kind != "V" \
             else str(jarr.dtype)
         chunks = []
+        seen = set()
         for i, sh in enumerate(jarr.addressable_shards):
-            if sh.replica_id != 0:
+            idx = _norm_index(sh.index, jarr.shape)
+            key_idx = tuple(map(tuple, idx))
+            if key_idx in seen:                 # replica within this process
                 continue
+            seen.add(key_idx)
             data = np.asarray(sh.data)
             key = f"{fname}__p{proc}__{i}"
             if data.dtype.kind == "V":          # ml_dtypes (bfloat16 ring)
                 casts[key] = str(jarr.dtype)
                 data = data.astype(np.float32)  # exact upcast (see save_state)
             arrays[key] = data
-            chunks.append({"key": key,
-                           "index": _norm_index(sh.index, jarr.shape)})
+            chunks.append({"key": key, "index": idx})
         # Per-PROCESS chunk map: travels inside this process's own npz (the
         # coordinator cannot enumerate other hosts' shards), unioned at load.
         chunk_map[fname] = chunks
@@ -152,6 +158,16 @@ def save_state_sharded(dir_path, state: LBFGSState) -> None:
                  __casts__=np.asarray(json.dumps(casts)),
                  __chunks__=np.asarray(json.dumps(chunk_map)), **arrays)
     os.replace(tmp, shard_path)
+    if jax.process_count() > 1:
+        # Commit-marker ordering: every process's shard file must be durable
+        # BEFORE index.json appears (a crash in the window would otherwise
+        # leave a directory that LOOKS committed but cannot cover the
+        # d-sharded slices).  save_state_sharded is collective, so the
+        # barrier is safe; a second barrier below keeps other processes from
+        # loading before the marker exists.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpu_lbfgs_ckpt_shards_written")
     if proc == 0:
         index = {"schema": _SCHEMA_SHARDED,
                  "num_processes": int(jax.process_count()),
@@ -159,6 +175,10 @@ def save_state_sharded(dir_path, state: LBFGSState) -> None:
         tmp_idx = dir_path / "index.json.tmp"
         tmp_idx.write_text(json.dumps(index, indent=1))
         os.replace(tmp_idx, dir_path / "index.json")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpu_lbfgs_ckpt_committed")
 
 
 def load_state_sharded(dir_path, mesh, d_axis: str = "d",

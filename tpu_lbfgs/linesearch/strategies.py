@@ -373,17 +373,22 @@ def armijo_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
 # 5. Strong-Wolfe with cubic interpolation (zoom)
 # -----------------------------------------------------------------------------
 
-def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
-                        f_x: Array, g_dot_d: Array) -> LineSearchResult:
-    dtype = f_x.dtype
+def _wolfe_interp_fn(cfg: LBFGSConfig):
     if cfg.safe_cubic:
         _fixed = cfg.fidelity == "fixed"
-        interp = lambda *a: safe_cubic_interpolate(*a, fixed=_fixed)
-    elif cfg.fidelity == "fixed":
-        interp = cubic_interpolate_fixed       # trap #4: minimizer root
-    else:
-        interp = cubic_interpolate
-    inf = jnp.asarray(jnp.inf, dtype)
+        return lambda *a: safe_cubic_interpolate(*a, fixed=_fixed)
+    if cfg.fidelity == "fixed":
+        return cubic_interpolate_fixed         # trap #4: minimizer root
+    return cubic_interpolate
+
+
+def _make_wolfe_zoom(cfg: LBFGSConfig, phi_dphi: PhiDphiFn, f_x: Array,
+                     g_dot_d: Array, interp):
+    """(cond, body) of the strong-Wolfe zoom while_loop — the SINGLE source
+    of the sequential branch rules, shared by ``wolfe_interpolation`` and
+    the speculative variant's Phase B (their parity contract would otherwise
+    live in two copies that could drift)."""
+    dtype = f_x.dtype
 
     def cond(carry):
         return ~carry[5] & (carry[7] < cfg.ls_max_iters)
@@ -430,8 +435,16 @@ def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
         return (alpha_next, lo_next, hi_next, f_lo_next, dphi_lo_next, done,
                 result, it + 1, n_fev + 1, n_gev + (~branch1).astype(jnp.int32))
 
+    return cond, body
+
+
+def wolfe_interpolation(cfg: LBFGSConfig, phi: PhiFn, phi_dphi: PhiDphiFn,
+                        f_x: Array, g_dot_d: Array) -> LineSearchResult:
+    dtype = f_x.dtype
+    interp = _wolfe_interp_fn(cfg)
+    cond, body = _make_wolfe_zoom(cfg, phi_dphi, f_x, g_dot_d, interp)
     carry = (jnp.asarray(cfg.initial_step, dtype), jnp.asarray(0.0, dtype),
-             inf, f_x, g_dot_d, jnp.bool_(False),
+             jnp.asarray(jnp.inf, dtype), f_x, g_dot_d, jnp.bool_(False),
              jnp.asarray(cfg.initial_step, dtype), _i32(0), _i32(0), _i32(0))
     alpha, _, _, _, _, done, result, _, n_fev, n_gev = lax.while_loop(
         cond, body, carry)
@@ -467,13 +480,7 @@ def wolfe_interpolation_speculative(cfg: LBFGSConfig, phi: PhiFn,
     dtype = f_x.dtype
     K = cfg.spec_width
     cap = cfg.ls_max_iters
-    if cfg.safe_cubic:
-        _fixed = cfg.fidelity == "fixed"
-        interp = lambda *a: safe_cubic_interpolate(*a, fixed=_fixed)
-    elif cfg.fidelity == "fixed":
-        interp = cubic_interpolate_fixed
-    else:
-        interp = cubic_interpolate
+    interp = _wolfe_interp_fn(cfg)
     inf = jnp.asarray(jnp.inf, dtype)
     alpha0 = jnp.asarray(cfg.initial_step, dtype)
 
@@ -511,9 +518,16 @@ def wolfe_interpolation_speculative(cfg: LBFGSConfig, phi: PhiFn,
                   ((fs >= f_prev) & (it_t > 0))
         accepted = ~branch1 & (jnp.abs(dphis) <= -cfg.c2 * g_dot_d)
         branch2 = ~branch1 & ~accepted & (dphis >= 0)
+        # Branch-3 floor: the sequential loop checks alpha_next (= 2*alpha in
+        # the doubling phase) against interp_min on EVERY non-branch-1 step;
+        # with a sub-floor initial_step the doubling itself can floor out, so
+        # those nodes must stop the ladder too (missing this returned a
+        # wildly different alpha for initial_step < interp_min).
+        b3_floor = (~branch1 & ~accepted & ~branch2
+                    & (alphas * 2.0 < cfg.interp_min))
         cap_hit = it_t >= cap                     # sequential loop would have
         #                                           exited before this trial
-        stop = branch1 | accepted | branch2 | cap_hit
+        stop = branch1 | accepted | branch2 | b3_floor | cap_hit
         any_stop = jnp.any(stop)
         t = jnp.argmax(stop)                      # first stop index
 
@@ -525,13 +539,14 @@ def wolfe_interpolation_speculative(cfg: LBFGSConfig, phi: PhiFn,
         acc = ~capped & accepted[t]
         b1 = ~capped & branch1[t]
         b2 = ~capped & branch2[t]
+        b3f = ~capped & b3_floor[t]
 
         grad_alpha = (f_t - f_x - g_dot_d * a_t) / (a_t * a_t)
         a_b1 = interp(lo_t, a_t, f_lo_t, dphi_lo_t, f_t, grad_alpha)
         a_b2 = interp(lo_t, a_t, f_lo_t, dphi_lo_t, f_t, dphi_t)
         alpha_next = jnp.where(b1, a_b1, jnp.where(b2, a_b2, a_t))
         # Floor check skipped on branch 1 (the reference's `continue`).
-        floor_hit = b2 & (alpha_next < cfg.interp_min)
+        floor_hit = (b2 & (alpha_next < cfg.interp_min)) | b3f
 
         done_now = any_stop & (acc | floor_hit | capped)
         result_now = jnp.where(
@@ -564,37 +579,9 @@ def wolfe_interpolation_speculative(cfg: LBFGSConfig, phi: PhiFn,
      n_fev, n_gev) = lax.while_loop(condA, bodyA, cA)
 
     # --- Phase B: the exact sequential zoom from the speculated bracket ------
-    def condB(c):
-        return ~c[5] & (c[7] < cap)
-
-    def bodyB(carry):
-        (alpha, lo, hi, f_lo, dphi_lo, _, result, it, n_fev, n_gev) = carry
-        f_new, dphi_new = phi_dphi(alpha)
-        branch1 = (f_new > f_x + cfg.c1 * alpha * g_dot_d) | \
-                  ((f_new >= f_lo) & (it > 0))
-        grad_alpha = (f_new - f_x - g_dot_d * alpha) / (alpha * alpha)
-        a_b1 = interp(lo, alpha, f_lo, dphi_lo, f_new, grad_alpha)
-        accepted = ~branch1 & (jnp.abs(dphi_new) <= -cfg.c2 * g_dot_d)
-        branch2 = ~branch1 & ~accepted & (dphi_new >= 0)
-        a_b2 = interp(lo, alpha, f_lo, dphi_lo, f_new, dphi_new)
-        branch3 = ~branch1 & ~accepted & ~branch2
-        a_b3 = jnp.where(jnp.isinf(hi), alpha * 2.0,
-                         interp(alpha, hi, f_new, dphi_new, f_new, dphi_new))
-        hi_next = jnp.where(branch1 | branch2, alpha, hi)
-        lo_next = jnp.where(branch3, alpha, lo)
-        f_lo_next = jnp.where(branch3, f_new, f_lo)
-        dphi_lo_next = jnp.where(branch3, dphi_new, dphi_lo)
-        alpha_next = jnp.where(branch1, a_b1,
-                               jnp.where(branch2, a_b2,
-                                         jnp.where(branch3, a_b3, alpha)))
-        floor_hit = ~branch1 & ~accepted & (alpha_next < cfg.interp_min)
-        done = accepted | floor_hit
-        result = jnp.where(
-            accepted, alpha,
-            jnp.where(floor_hit, jnp.asarray(cfg.interp_min, dtype), result))
-        return (alpha_next, lo_next, hi_next, f_lo_next, dphi_lo_next, done,
-                result, it + 1, n_fev + 1, n_gev + (~branch1).astype(jnp.int32))
-
+    # Same (cond, body) as wolfe_interpolation — one source of the branch
+    # rules, entered from the Phase-A carry instead of the fresh one.
+    condB, bodyB = _make_wolfe_zoom(cfg, phi_dphi, f_x, g_dot_d, interp)
     cB = (alpha_z, lo, hi, f_lo, dphi_lo, done, result, it, n_fev, n_gev)
     alpha, _, _, _, _, done, result, _, n_fev, n_gev = lax.while_loop(
         condB, bodyB, cB)
@@ -616,12 +603,23 @@ def backtracking_wolfe_speculative(cfg: LBFGSConfig, phi: PhiFn,
     triangular tree of (R+1)(R+2)/2 nodes whose (phi, phi') values batch
     into ONE fused pass.  The walk is then resolved on scalars with the
     sequential rules, advancing up to R real steps per pass with exact
-    alpha parity (fp too: multiplying by shrink=0.5 is exact, so the
-    product's rounding sequence is interleaving-independent).
+    alpha parity (fp too: multiplying by a power-of-two shrink is exact, so
+    the product's rounding sequence is interleaving-independent).
+
+    The fp-parity argument REQUIRES a power-of-two ``cfg.shrink`` (the
+    default 0.5): for any other shrink, different shrink/grow interleavings
+    to the same (i, j) node round differently, so the tree cannot represent
+    the walk's values exactly — this function then delegates to the
+    sequential ``backtracking_wolfe`` rather than silently breaking the
+    parity contract.
 
     R = cfg.spec_width - 1 kept small (default 8 -> 36 trials; pass
     spec_width=4 for 10 trials if VPU-bound at small d).
     """
+    import math
+
+    if math.frexp(cfg.shrink)[0] != 0.5:       # not a power of two
+        return backtracking_wolfe(cfg, phi, phi_dphi, f_x, g_dot_d)
     dtype = f_x.dtype
     R = max(1, cfg.spec_width - 1)
     cap = cfg.ls_safety_cap
