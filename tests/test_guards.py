@@ -152,7 +152,7 @@ def test_guard_counters_checkpoint_roundtrip(tmp_path):
     p = get_problem("quadratic")
     vg = make_value_and_grad(p.f, p.grad)
     st = init_state(vg, jnp.full((32,), 2.0), 5)
-    st = st._replace(guards=jnp.asarray([1, 2, 3, 4, 5], jnp.int32))
+    st = st._replace(guards=jnp.arange(1, Guard.N + 1, dtype=jnp.int32))
     path = tmp_path / "ck.npz"
     save_state(path, st)
     st2 = load_state(path)
@@ -166,3 +166,13 @@ def test_guard_counters_checkpoint_roundtrip(tmp_path):
     _np.savez(legacy_path, **legacy)
     st3 = load_state(legacy_path)
     np.testing.assert_array_equal(np.asarray(st3.guards), np.zeros(Guard.N))
+    # shorter counter vector (saved before a Guard extension): zero-extended
+    short = dict(legacy)
+    short["guards"] = _np.asarray([9, 8, 7], _np.int32)
+    short_path = tmp_path / "short.npz"
+    _np.savez(short_path, **short)
+    st4 = load_state(short_path)
+    g4 = np.asarray(st4.guards)
+    assert g4.shape == (Guard.N,)
+    np.testing.assert_array_equal(g4[:3], [9, 8, 7])
+    assert np.all(g4[3:] == 0)

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--c2", type=float, default=0.9)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument("--damping", type=float, default=None,
+                    help="Powell damping threshold (e.g. 0.2): blend "
+                         "low-curvature pairs instead of rejecting them "
+                         "(extension; jnp tail only — not with --pallas)")
     ap.add_argument("--history-dtype", default=None,
                     choices=[None, "bfloat16", "float32", "auto"],
                     help="down-cast (m,d) history storage (halves direction "
@@ -132,7 +136,7 @@ def main(argv=None) -> int:
         record_trace=args.trace or (args.verbose and not args.batch
                                     and args.backend == "jax"),
         ls_eval="polynomial" if args.poly_ls else "direct",
-        history_dtype=args.history_dtype)
+        history_dtype=args.history_dtype, damping=args.damping)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)

@@ -131,6 +131,15 @@ class LBFGSConfig:
     # (lbfgs.cpp:182); GPU reference skips pairs with sy <= 1e-10 inside the
     # two-loop instead (L-BFGS.cu:222-223).
     curvature_threshold: float = 0.0
+    # Powell damping (N&W eq. 18.15, with B0 = I/gamma as is standard for
+    # L-BFGS): instead of REJECTING a low-curvature pair (the reference's
+    # only option), blend y_bar = theta*y + (1-theta)*B0 s whenever
+    # s.y < damping * s.B0 s, guaranteeing s.y_bar >= damping * s.B0 s > 0 —
+    # every step then contributes curvature information.  Typical value 0.2;
+    # None (default) keeps exact reference semantics.  jnp tail only
+    # (incompatible with fused_tail/use_pallas); activations counted in
+    # Guard.DAMPED.  Extension beyond the reference — no oracle parity.
+    damping: Optional[float] = None
     # The solver bails when the line search returns alpha below this
     # (lbfgs.cpp:164-168).
     step_fail_tol: float = 1e-10
@@ -206,6 +215,9 @@ class LBFGSConfig:
             raise ValueError(
                 f"refresh_interval must be >= 1 or None (got "
                 f"{self.refresh_interval!r})")
+        if self.damping is not None and not (0.0 < self.damping < 1.0):
+            raise ValueError(
+                f"damping must be in (0, 1) or None (got {self.damping!r})")
         if self.history_dtype not in (None, "bfloat16", "float32", "auto"):
             raise ValueError(
                 f"unknown history_dtype {self.history_dtype!r}; expected "

@@ -196,6 +196,11 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         raise ValueError(
             "cfg.accurate_dots is incompatible with fused_tail/use_pallas "
             "(kernels accumulate per-block, not compensated); disable one")
+    if cfg.damping is not None and (fused_tail is not None or cfg.use_pallas):
+        # The damped pair rewrites y before storage; the fused tail emits the
+        # raw (s, y) rows and scalars in-kernel.
+        raise ValueError(
+            "cfg.damping requires the jnp tail (no fused_tail/use_pallas)")
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
 
@@ -219,6 +224,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     step_failed = alpha < cfg.step_fail_tol
     hdtype = state.s_hist.dtype
     t1_pre = t2_pre = None
+    damp_fired = jnp.bool_(False)
     if fused_tail is not None:
         # Single HBM stream: x_new, f_new, g_new, ring rows (history dtype),
         # all pair/convergence scalars, and the pre-update history matvecs
@@ -249,6 +255,35 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
                 x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
             ygn = jnp.vdot(y, g_new)   # y_new.g_new (exact; fuses into the
             #                            tail's read of y/g_new)
+        if cfg.damping is not None:
+            # Powell damping with B0 = I/gamma (config.py docstring): blend
+            # y_bar = theta*y + (1-theta)*s/gamma when s.y < mu * s.s/gamma.
+            # Only ONE extra reduction (s.s); the blended scalars follow
+            # algebraically from the raw ones:
+            #   s.y_bar   = theta*sy  + (1-theta)*ss/gamma
+            #   y_bar.y_bar = theta^2*yy + 2 theta(1-theta) sy/gamma
+            #                 + ((1-theta)/gamma)^2 ss
+            #   y_bar.g_new = theta*ygn + (1-theta)*(s.g_new)/gamma,
+            #   s.g_new = alpha * dgn.
+            from .direction import _gamma
+
+            gamma_p = _gamma(state, m)         # 1.0 before the first pair
+            ss = jnp.vdot(s, s)
+            sBs = ss / gamma_p
+            mu = jnp.asarray(cfg.damping, sy.dtype)
+            damp_fired = sy < mu * sBs
+            denom = sBs - sy
+            theta = jnp.where(damp_fired & (denom > 0) & jnp.isfinite(denom),
+                              (1.0 - mu) * sBs / jnp.where(denom > 0, denom,
+                                                           1.0),
+                              1.0)
+            one_m = (1.0 - theta) / gamma_p
+            y = theta * y + one_m * s
+            ygn = theta * ygn + one_m * (alpha * dgn)
+            yy = theta * theta * yy + 2.0 * theta * one_m * sy \
+                + one_m * one_m * ss
+            sy = theta * sy + one_m * ss
+            damp_fired = damp_fired & (theta < 1.0)
         s_h = s.astype(hdtype)
         y_h = y.astype(hdtype)
     # Non-finite trial rejection: under ls_eval="polynomial" the acceptance
@@ -356,6 +391,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
         b2i(~failed & (sy <= cfg.curvature_threshold)),
         jnp.asarray(ls.rescued, jnp.int32) * active.astype(jnp.int32),
         b2i(failed),
+        b2i(damp_fired & ~failed),
     ])
 
     # --- advance (freeze x/g/f on line-search failure: the reference returns

@@ -77,11 +77,20 @@ def load_state(path, dtype=None) -> LBFGSState:
         casts = json.loads(str(z["__casts__"])) if "__casts__" in z else {}
         vals = {}
         for f in _FIELDS:
-            if f == "guards" and f not in z:
-                # Pre-guard-counter checkpoints (same schema otherwise):
-                # resume with zeroed counters.
+            if f == "guards":
+                # Pre-guard-counter checkpoints lack the field; counters
+                # saved before a Guard extension are shorter — zero-extend
+                # (same schema otherwise).
                 from ..types import Guard
-                vals[f] = jnp.zeros((Guard.N,), jnp.int32)
+                if f not in z:
+                    vals[f] = jnp.zeros((Guard.N,), jnp.int32)
+                    continue
+                a = np.asarray(z[f])
+                if a.shape[-1] < Guard.N:
+                    pad = [(0, 0)] * (a.ndim - 1) + \
+                        [(0, Guard.N - a.shape[-1])]
+                    a = np.pad(a, pad)
+                vals[f] = jnp.asarray(a)
                 continue
             a = z[f]
             if dtype is not None and a.dtype.kind == "f":
@@ -245,13 +254,26 @@ def load_state_sharded(dir_path, mesh, d_axis: str = "d",
     try:
         for fname in _FIELDS:
             meta = index["fields"].get(fname)
+            if fname == "guards":
+                from ..types import Guard
+
+                # Pre-counter checkpoints lack the field; shorter counter
+                # vectors from before a Guard extension zero-extend.  The
+                # counters are tiny and replicated — assemble on host.
+                if meta is None:
+                    g = np.zeros((Guard.N,), np.int32)
+                else:
+                    chunks_g = all_chunks.get(fname, [])
+                    g = np.zeros(tuple(meta["shape"]), np.int32)
+                    for key, idx, pf in chunks_g:
+                        g[tuple(slice(lo, hi) for lo, hi in idx)] = \
+                            _chunk_data(key, pf, meta["dtype"])
+                    if g.shape[-1] < Guard.N:
+                        g = np.pad(g, [(0, 0)] * (g.ndim - 1)
+                                   + [(0, Guard.N - g.shape[-1])])
+                vals[fname] = jax.device_put(g, getattr(shardings, fname))
+                continue
             if meta is None:
-                if fname == "guards":               # pre-counter checkpoint
-                    from ..types import Guard
-                    vals[fname] = jax.device_put(
-                        np.zeros((Guard.N,), np.int32),
-                        getattr(shardings, fname))
-                    continue
                 raise KeyError(f"field {fname} missing from {dir_path}")
             shape = tuple(meta["shape"])
             gdtype = meta["dtype"]

@@ -248,7 +248,9 @@ class OracleResult:
     # line_search.cpp:38-41).  Parity target for SolveResult.guards.
     guard_counts: dict = field(default_factory=lambda: {
         "dir_fallback": 0, "not_descent": 0, "pair_reject": 0,
-        "ls_rescue": 0, "lane_freeze": 0})
+        "ls_rescue": 0, "lane_freeze": 0, "damped": 0})
+    # "damped" stays 0: Powell damping is this framework's extension; the
+    # reference (and so this oracle) can only reject low-curvature pairs.
 
 
 def lbfgs_oracle(f: Callable, grad: Callable, x0: np.ndarray,

@@ -63,10 +63,13 @@ class Guard:
     PAIR_REJECT = 2    # curvature pair rejected, ring frozen   (lbfgs.cpp:192-195)
     LS_RESCUE = 3      # alpha floor rescue fired   (parallel line_search.cpp:38-41)
     LANE_FREEZE = 4    # non-finite/underflow step froze the lane (solver.iterate)
-    N = 5
+    DAMPED = 5         # Powell damping blended a low-curvature pair
+    #                    (cfg.damping — an extension; the reference can only
+    #                    skip such pairs)
+    N = 6
 
     NAMES = ("dir_fallback", "not_descent", "pair_reject", "ls_rescue",
-             "lane_freeze")
+             "lane_freeze", "damped")
 
 
 class LBFGSState(NamedTuple):
