@@ -148,3 +148,48 @@ def test_bounded_with_record_trace_rejected():
                               LBFGSConfig(max_iters=10), grad=p.grad,
                               mesh=make_mesh_2d(batch_size=2),
                               lockstep="bound")
+
+
+def test_bounded_converged_lane_not_reported_failed():
+    """A lane that reaches g_norm < tol under the bounded loop keeps
+    iterating; if a later near-optimum line search underflows, the lane
+    freezes — but it froze AT a point satisfying tol, so finalize must
+    report CONVERGED, matching the 'while' formulation (round-4 advisor
+    finding).  Rosenbrock in f32 with a generous budget reliably hits the
+    post-convergence underflow."""
+    import jax
+
+    from tpu_lbfgs import Status, get_problem
+    from tpu_lbfgs.core.solver import (
+        init_state,
+        make_value_and_grad,
+        solve_bounded,
+        solve_from_state,
+    )
+
+    p = get_problem("rosenbrock")
+    vg = make_value_and_grad(p.f, p.grad)
+    cfg = LBFGSConfig(line_search="backtracking", max_iters=400, tol=1e-3,
+                      fidelity="fixed", pair_skip_threshold=1e-10)
+    x0 = jnp.asarray(
+        np.random.default_rng(7).uniform(-2.0, 2.0, (32, 64)), jnp.float32)
+
+    def run(solve, x0s):
+        def one(x):
+            st = init_state(vg, x, cfg.m, None)
+            return solve(cfg, p.f, vg, st)
+        return jax.vmap(one)(x0s)
+
+    from functools import partial
+
+    rb = jax.jit(partial(run, solve_bounded))(x0)
+    rw = jax.jit(partial(run, solve_from_state))(x0)
+    sb = np.asarray(rb.status)
+    sw = np.asarray(rw.status)
+    # Every lane the while formulation reports CONVERGED must be CONVERGED
+    # under bounded too (bounded lanes only keep polishing past tol).
+    conv = sw == Status.CONVERGED
+    assert conv.any()
+    np.testing.assert_array_equal(sb[conv], Status.CONVERGED)
+    # and bounded's g_norm on those lanes still satisfies tol
+    assert np.all(np.asarray(rb.g_norm)[conv] < cfg.tol)

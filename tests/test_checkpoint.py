@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_lbfgs import LBFGSConfig, Status, get_problem, init_state, solve_from_state
 from tpu_lbfgs.core.solver import make_value_and_grad
@@ -204,3 +205,43 @@ def test_sharded_checkpoint_bf16_history_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(st.s_hist, dtype=np.float32),
         np.asarray(st2.s_hist, dtype=np.float32))
+
+
+def test_sharded_checkpoint_stale_shards_cleaned_and_rejected(tmp_path):
+    """Re-saving into a directory previously written by a larger job must not
+    let stale shard files poison the restore: save_state_sharded deletes
+    shard files beyond process_count before publishing index.json, and
+    load_state_sharded refuses a directory whose shard files exceed the
+    index's num_processes (round-4 advisor finding)."""
+    import json
+
+    from tpu_lbfgs import LBFGSConfig
+    from tpu_lbfgs.dist.mesh import make_mesh
+    from tpu_lbfgs.io import load_state_sharded, save_state_sharded
+
+    mesh = make_mesh()
+    cfg = LBFGSConfig(max_iters=8, tol=0.0, direction="compact")
+    st, _, _ = _sharded_mid_state(cfg, mesh)
+    ck = tmp_path / "ck"
+    save_state_sharded(ck, st)
+
+    # Simulate a leftover from an earlier save with more processes: a copy
+    # of shard-0 under a higher process index, with DIFFERENT (stale) data.
+    stale = ck / "shard-3.npz"
+    stale.write_bytes((ck / "shard-0.npz").read_bytes())
+
+    with pytest.raises(ValueError, match="stale"):
+        load_state_sharded(ck, mesh)
+
+    # A fresh save into the same directory cleans the stale file up.
+    save_state_sharded(ck, st)
+    assert not stale.exists()
+    st2 = load_state_sharded(ck, mesh)
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st2.x))
+
+    # Missing committed shard file -> clear FileNotFoundError.
+    idx = json.loads((ck / "index.json").read_text())
+    idx["num_processes"] = 2
+    (ck / "index.json").write_text(json.dumps(idx))
+    with pytest.raises(FileNotFoundError, match="shard-1"):
+        load_state_sharded(ck, mesh)

@@ -75,13 +75,101 @@ def test_damped_scalars_match_direct_recomputation():
     assert np.asarray(st.guards)[Guard.DAMPED] > 0
 
 
-def test_damping_rejects_pallas_and_validates_range():
+def test_damping_validates_range():
     with pytest.raises(ValueError, match="damping"):
         LBFGSConfig(damping=1.5)
-    p = get_problem("rosenbrock")
-    from tpu_lbfgs.problems.suite import fused_tail_for
 
-    cfg = LBFGSConfig(damping=0.2, max_iters=5)
-    with pytest.raises(ValueError, match="damping"):
-        minimize(p.f, jnp.ones(256, jnp.float32), cfg, grad=p.grad,
-                 fused_tail=fused_tail_for("rosenbrock", with_matvec=False))
+
+def test_damping_compact_incremental_matches_compact():
+    """The incremental products under damping must reproduce the recomputed
+    ('compact') products' trajectory: the round-4 advisor found the Sg/Yg
+    advance used the DAMPED y_bar where the invariant needs the raw gradient
+    difference — this pins the fixed algebra on a run where damping fires
+    repeatedly."""
+    x0 = jnp.asarray(np.random.default_rng(3).uniform(-0.5, 0.5, 64))
+    base = LBFGSConfig(line_search="backtracking", max_iters=60, tol=1e-9,
+                       m=5, damping=0.2)
+    r_c = minimize(_dw, x0, base.replace(direction="compact"), grad=_dw_grad)
+    r_i = minimize(_dw, x0, base.replace(direction="compact_incremental"),
+                   grad=_dw_grad)
+    assert np.asarray(r_c.guards)[Guard.DAMPED] > 0
+    # f64 end-to-end: the incremental products differ from recomputation
+    # only by accumulated rounding, so trajectories agree tightly.
+    np.testing.assert_allclose(np.asarray(r_i.x), np.asarray(r_c.x),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(r_i.f), float(r_c.f), rtol=1e-8,
+                               atol=1e-12)
+    assert np.asarray(r_i.guards)[Guard.DAMPED] \
+        == np.asarray(r_c.guards)[Guard.DAMPED]
+
+
+def test_damping_composes_with_fused_tail():
+    """cfg.damping now runs on the fused-tail path (the blend is applied to
+    the kernel's raw outputs post-hoc): trajectory must match the plain jnp
+    tail.  Exercised through the fused-tail code route (t1/t2 matvecs +
+    hdtype rows) via its jnp composition — semantics identical to the Pallas
+    kernel, which tests/test_tail_fused.py pins against it."""
+    from tpu_lbfgs.kernels.pallas_ops import fused_tail_jnp
+
+    def vg(x):
+        return _dw(x), _dw_grad(x)
+
+    def tail(x, d, alpha, g, s_hist, y_hist):
+        return fused_tail_jnp(vg, x, d, alpha, g, s_hist, y_hist,
+                              with_matvec=True)
+
+    x0 = jnp.asarray(np.random.default_rng(4).uniform(-0.5, 0.5, 128))
+    for direction in ("compact_incremental", "two_loop"):
+        cfg = LBFGSConfig(line_search="backtracking", max_iters=50, tol=1e-9,
+                          m=5, damping=0.2, direction=direction)
+        r_plain = minimize(_dw, x0, cfg, grad=_dw_grad)
+        r_fused = minimize(_dw, x0, cfg, grad=_dw_grad, fused_tail=tail)
+        assert np.asarray(r_plain.guards)[Guard.DAMPED] > 0, direction
+        np.testing.assert_allclose(np.asarray(r_fused.x),
+                                   np.asarray(r_plain.x),
+                                   rtol=1e-9, atol=1e-12, err_msg=direction)
+        np.testing.assert_array_equal(np.asarray(r_fused.guards),
+                                      np.asarray(r_plain.guards))
+
+
+def test_damping_composes_with_pallas_f32():
+    """damping + use_pallas + fused Pallas tail (interpret mode on CPU) on a
+    suite problem: runs without raising and matches the jnp path to f32
+    tolerance."""
+    from tpu_lbfgs.problems.suite import fused_tail_for, fused_value_and_grad
+
+    p = get_problem("rosenbrock")
+    x0 = jnp.asarray(
+        np.random.default_rng(5).uniform(-2.0, 2.0, 256), jnp.float32)
+    cfg = LBFGSConfig(line_search="backtracking", max_iters=25, tol=0.0,
+                      m=5, damping=0.2, direction="compact_incremental",
+                      pair_skip_threshold=1e-10, fidelity="fixed")
+    r_jnp = minimize(p.f, x0, cfg, grad=p.grad)
+    r_pal = minimize(p.f, x0, cfg.replace(use_pallas=True), grad=p.grad,
+                     value_and_grad=fused_value_and_grad("rosenbrock"),
+                     fused_tail=fused_tail_for("rosenbrock",
+                                               with_matvec=True))
+    # f32 kernels accumulate in a different order than the jnp reduction;
+    # trajectories agree to f32 tolerance over 25 iterations.
+    np.testing.assert_allclose(np.asarray(r_pal.x), np.asarray(r_jnp.x),
+                               rtol=2e-3, atol=2e-3)
+    assert np.asarray(r_pal.guards)[Guard.DAMPED] \
+        == np.asarray(r_jnp.guards)[Guard.DAMPED]
+
+
+def test_damping_composes_with_sharded_minimize():
+    """damping on the d-sharded stack (8 virtual devices): matches the
+    single-device damped solve."""
+    from tpu_lbfgs.dist import sharded_minimize
+    from tpu_lbfgs.dist.mesh import make_mesh
+
+    x0 = jnp.asarray(np.random.default_rng(6).uniform(-0.5, 0.5, 1024))
+    cfg = LBFGSConfig(line_search="backtracking", max_iters=40, tol=1e-9,
+                      m=5, damping=0.2)
+    r_one = minimize(_dw, x0, cfg, grad=_dw_grad)
+    r_sh = sharded_minimize(_dw, x0, cfg, mesh=make_mesh(), grad=_dw_grad)
+    assert np.asarray(r_one.guards)[Guard.DAMPED] > 0
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_one.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(r_sh.guards),
+                                  np.asarray(r_one.guards))

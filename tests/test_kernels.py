@@ -134,3 +134,91 @@ def test_block_rows_override_preserves_semantics(br, monkeypatch):
     assert abs(float(fp) - float(fj)) / (abs(float(fj)) + 1e-30) < 1e-4
     assert float(jnp.max(jnp.abs(gp - gj))) / \
         (float(jnp.max(jnp.abs(gj))) + 1e-30) < 1e-4
+
+
+def test_compensated_tail_kernel_beats_plain_f32(monkeypatch):
+    """accurate_dots on the Pallas tail: the in-kernel Neumaier compensation
+    of the cross-block scalar accumulation (kernels._neumaier_add) must
+    track the f64 reference markedly tighter than the plain kernel on data
+    built to lose bits across many sequential block adds (large running sum
+    + small per-element increments)."""
+    import tpu_lbfgs.kernels.pallas_ops as po
+
+    # 8-row blocks -> 128 grid steps at d=2^17: plenty of cross-block
+    # sequential accumulation for the compensation to matter.
+    monkeypatch.setattr(po, "BLOCK_ROWS", 8)
+    d = 1 << 17
+    rng = np.random.default_rng(11)
+    # g_new ~ 1 + tiny noise: sum of squares accumulates ~1 per element, so
+    # by the last blocks each f32 add rounds at ~2^-24 * 1e5 magnitude.
+    g_new = jnp.asarray(1.0 + 1e-3 * rng.standard_normal(d), jnp.float32)
+    g = jnp.asarray(1e-3 * rng.standard_normal(d), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    dvec = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    alpha = jnp.float32(0.37)
+
+    ref = np.float64(np.asarray(g_new, np.float64) @ np.asarray(g_new, np.float64))
+
+    outs_p = po._iteration_tail_pallas(x, dvec, alpha, g, g_new,
+                                       accurate=False)
+    outs_c = po._iteration_tail_pallas(x, dvec, alpha, g, g_new,
+                                       accurate=True)
+    gg_plain = float(outs_p[5])
+    gg_comp = float(outs_c[5])
+    err_plain = abs(gg_plain - ref)
+    err_comp = abs(gg_comp - ref)
+    assert err_comp <= err_plain
+    # compensated must sit within a few in-block rounding units of f64
+    assert err_comp < 64.0 * np.finfo(np.float32).eps * ref
+    # the big outputs are identical (compensation touches only scalars)
+    np.testing.assert_array_equal(np.asarray(outs_p[0]), np.asarray(outs_c[0]))
+
+    # fused tail: same contract through make_fused_tail on a suite problem
+    from tpu_lbfgs.kernels import make_fused_tail
+    from tpu_lbfgs.problems.suite import fused_value_and_grad
+    from tpu_lbfgs.types import hist_block
+
+    m = 4
+    R, L = hist_block(d)
+    s_hist = jnp.zeros((m, R, L), jnp.float32)
+    y_hist = jnp.zeros((m, R, L), jnp.float32)
+    x1 = jnp.asarray(1.0 + 1e-3 * rng.standard_normal(d), jnp.float32)
+    d1 = jnp.asarray(1e-3 * rng.standard_normal(d), jnp.float32)
+    tail_c = make_fused_tail("quadratic", fused_value_and_grad("quadratic"),
+                             with_matvec=False, accurate_dots=True)
+    tail_p = make_fused_tail("quadratic", fused_value_and_grad("quadratic"),
+                             with_matvec=False, accurate_dots=False)
+    assert tail_c.accurate_dots and not tail_p.accurate_dots
+    outc = tail_c(x1, d1, jnp.float32(0.5), g, s_hist, y_hist)
+    outp = tail_p(x1, d1, jnp.float32(0.5), g, s_hist, y_hist)
+    xn64 = np.asarray(x1, np.float64) + 0.5 * np.asarray(d1, np.float64)
+    f64 = float(np.sum((xn64 - 1.0) ** 2))
+    assert abs(float(outc[1]) - f64) <= abs(float(outp[1]) - f64)
+
+
+def test_accurate_dots_composes_with_pallas_solver():
+    """cfg.accurate_dots + use_pallas + accurate fused tail runs end-to-end
+    and matches the jnp compensated path; a PLAIN fused tail under
+    accurate_dots is rejected."""
+    import pytest
+
+    from tpu_lbfgs import LBFGSConfig, get_problem, minimize
+    from tpu_lbfgs.problems.suite import fused_tail_for, fused_value_and_grad
+
+    p = get_problem("rosenbrock")
+    x0 = jnp.asarray(
+        np.random.default_rng(12).uniform(-2, 2, 512), jnp.float32)
+    cfg = LBFGSConfig(line_search="backtracking", max_iters=15, tol=0.0,
+                      accurate_dots=True, fidelity="fixed",
+                      pair_skip_threshold=1e-10)
+    r_jnp = minimize(p.f, x0, cfg, grad=p.grad)
+    r_pal = minimize(p.f, x0, cfg.replace(use_pallas=True), grad=p.grad,
+                     value_and_grad=fused_value_and_grad("rosenbrock"),
+                     fused_tail=fused_tail_for("rosenbrock",
+                                               with_matvec=False,
+                                               accurate_dots=True))
+    np.testing.assert_allclose(np.asarray(r_pal.x), np.asarray(r_jnp.x),
+                               rtol=2e-3, atol=2e-3)
+    with pytest.raises(ValueError, match="accurate_dots"):
+        minimize(p.f, x0, cfg.replace(use_pallas=True), grad=p.grad,
+                 fused_tail=fused_tail_for("rosenbrock", with_matvec=False))

@@ -175,10 +175,13 @@ def test_refresh_interval_zero_rejected():
     LBFGSConfig(refresh_interval=None)
 
 
-def test_accurate_dots_incompatible_with_fused_kernels():
+def test_accurate_dots_fused_tail_pairing():
     """accurate_dots silently replaced by per-block accumulation was exactly
-    the giant-d corruption it exists to prevent; now a trace-time error."""
-    from tpu_lbfgs import minimize
+    the giant-d corruption it exists to prevent: a PLAIN fused tail under
+    cfg.accurate_dots is still a trace-time error.  The compensated kernels
+    now exist (r5), so accurate_dots=True tails and the bare use_pallas path
+    (compensated iteration_tail) run instead of raising."""
+    from tpu_lbfgs import Status, minimize
     from tpu_lbfgs.problems.suite import fused_tail_for
     p = get_problem("rosenbrock")
     x0 = jnp.full((256,), 1.5, jnp.float32)
@@ -186,7 +189,16 @@ def test_accurate_dots_incompatible_with_fused_kernels():
     with pytest.raises(ValueError, match="accurate_dots"):
         minimize(p.f, x0, LBFGSConfig(accurate_dots=True, max_iters=5),
                  grad=p.grad, fused_tail=tail)
-    with pytest.raises(ValueError, match="accurate_dots"):
-        minimize(p.f, x0,
-                 LBFGSConfig(accurate_dots=True, use_pallas=True, max_iters=5),
+    # Compensated pairings run end-to-end (semantics pinned in
+    # tests/test_kernels.py::test_accurate_dots_composes_with_pallas_solver).
+    r = minimize(p.f, x0,
+                 LBFGSConfig(accurate_dots=True, use_pallas=True, max_iters=5,
+                             tol=0.0),
                  grad=p.grad)
+    assert int(r.iterations) == 5 and int(r.status) == Status.MAX_ITERS
+    tail_c = fused_tail_for("rosenbrock", with_matvec=False,
+                            use_pallas=False, accurate_dots=True)
+    r2 = minimize(p.f, x0, LBFGSConfig(accurate_dots=True, max_iters=5,
+                                       tol=0.0),
+                  grad=p.grad, fused_tail=tail_c)
+    assert int(r2.iterations) == 5

@@ -91,6 +91,11 @@ def vmap_minimize(f: Callable, x0_batch: Array,
     iterations (solve_bounded: +37% measured at B=4096 x d=1024; failed
     lanes identical, early-converging lanes keep polishing past tol).
 
+    cfg.history_dtype="auto" resolves on the TOTAL batched footprint
+    (B x 2 m d): the per-instance ring of a large batch looks VMEM-resident
+    while the aggregate fully streams — B=4096 x d=1024 resolves to
+    bfloat16, B=4 x d=1024 to f32 (roofline.history_streams).
+
     Repeat calls with the same cfg and stable callable references reuse the
     compiled batched program.
     """
@@ -104,8 +109,18 @@ def vmap_minimize(f: Callable, x0_batch: Array,
         raise ValueError("lockstep='bounded' is incompatible with "
                          "cfg.record_trace (the traced scan freezes "
                          "finished lanes); trace with lockstep='while'")
+    x0_batch = jnp.asarray(x0_batch)
+    if cfg.history_dtype == "auto":
+        # Resolve OUTSIDE the vmapped trace (where only the (d,) slice is
+        # visible) so the residency rule sees the batch dimension; the
+        # resolved concrete dtype keys the compilation cache as usual.
+        from ..core.solver import resolve_history_dtype
+
+        cfg = cfg.replace(history_dtype=resolve_history_dtype(
+            "auto", cfg.m, x0_batch.shape[-1], x0_batch.dtype,
+            batch=x0_batch.shape[0]))
     run = _compiled_vmap_run(cfg, f, grad, value_and_grad, dir_poly,
                              problem_params is not None, lockstep)
     if problem_params is not None:
-        return run(jnp.asarray(x0_batch), problem_params)
-    return run(jnp.asarray(x0_batch))
+        return run(x0_batch, problem_params)
+    return run(x0_batch)

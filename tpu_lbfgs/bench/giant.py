@@ -106,7 +106,8 @@ def _bench_donated(args, cfg):
         vg = fused_value_and_grad(args.problem, use_pallas=True)
         fused_tail = fused_tail_for(args.problem,
                                     with_matvec=args.with_matvec,
-                                    use_pallas=True)
+                                    use_pallas=True,
+                                    accurate_dots=cfg.accurate_dots)
     else:
         from ..core.solver import make_value_and_grad
 

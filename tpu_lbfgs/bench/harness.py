@@ -79,7 +79,8 @@ def bench_tpu(problem: str = "rosenbrock", d: int = 1_000_000,
         # history streams and the fused matvec is worth re-measuring
         # (bench.giant sweeps it).
         fused_tail = fused_tail_for(problem, with_matvec=with_matvec,
-                                    use_pallas=True)
+                                    use_pallas=True,
+                                    accurate_dots=cfg.accurate_dots)
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = multi_phi_for(problem, use_pallas=True)
@@ -180,6 +181,13 @@ def bench_batch(problem: str = "rosenbrock", batch: int = 4096,
                              ls_eval="polynomial", fidelity="fixed",
                              pair_skip_threshold=1e-10)
     cfg = cfg.replace(max_iters=iters, tol=0.0)
+    if cfg.history_dtype == "auto":
+        # Batch-aware residency rule (vmap_minimize does the same): the
+        # TOTAL ring footprint decides, not the per-instance slice.
+        from ..core.solver import resolve_history_dtype
+
+        cfg = cfg.replace(history_dtype=resolve_history_dtype(
+            "auto", cfg.m, d, dtype, batch=batch))
     p = get_problem(problem)
     vg = make_value_and_grad(p.f, p.grad)
     dir_poly = p.dir_poly if cfg.ls_eval == "polynomial" else None

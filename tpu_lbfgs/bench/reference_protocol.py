@@ -71,20 +71,27 @@ def _alarm(_s, _f):
     raise _CellTimeout()
 
 
-def _x0_np(d: int, seed: int) -> np.ndarray:
+def _x0_np(d: int, seed: int, low: float = -1000.0,
+           high: float = 1000.0) -> np.ndarray:
     from ..problems.suite import reference_x0
 
-    return np.asarray(reference_x0(d, seed))
+    return np.asarray(reference_x0(d, seed, low=low, high=high))
 
 
 def run_cpu_cell(problem: str, d: int, strategy: str,
-                 seeds=REFERENCE_SEEDS, budget_s: float = 600.0) -> dict:
+                 seeds=REFERENCE_SEEDS, budget_s: float = 600.0,
+                 x0_range=(-1000.0, 1000.0)) -> dict:
     """To-convergence runs of the native oracle, reference sequential config
     (tol=1e-8, max 15,000), float64.  Stops adding seeds when the budget is
-    spent; `seeds_run` records how many completed."""
+    spent; `seeds_run` records how many completed.
+
+    x0_range: start-box override for the scaled-start f64 comparability
+    cells (see run_tpu_cell's f64 note); the default is the protocol's
+    U(-1000, 1000)."""
     from ..native import native_lbfgs
 
     cfg = REFERENCE_SEQUENTIAL.replace(line_search=strategy)
+    scaled = tuple(x0_range) != (-1000.0, 1000.0)
 
     # Projection probe: a 200-iteration capped run of the same config.  If it
     # converges, the cell is cheap and runs in full; otherwise project the
@@ -93,13 +100,14 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
     # per seed on this 2-vCPU-class host).
     probe_iters = 200
     t0 = time.perf_counter()
-    probe = native_lbfgs(problem, _x0_np(d, seeds[0]),
+    probe = native_lbfgs(problem, _x0_np(d, seeds[0], *x0_range),
                          cfg.replace(max_iters=probe_iters))
     probe_wall = time.perf_counter() - t0
     if probe["status"] != "converged":
         projected = probe_wall * (cfg.max_iters / probe_iters)
         if projected > budget_s:
-            return {"backend": "cpu-native-f64", "seeds_run": 0,
+            return {"backend": "cpu-native-f64-scaled" if scaled
+                else "cpu-native-f64", "seeds_run": 0,
                     "skipped": "budget",
                     "projected_wall_s_per_seed": round(projected, 1),
                     "probe_iters_per_s": round(probe_iters / probe_wall, 2)}
@@ -109,7 +117,7 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
     for seed in seeds:
         if walls and time.perf_counter() - t_start + max(walls) > budget_s:
             break
-        x0 = _x0_np(d, seed)
+        x0 = _x0_np(d, seed, *x0_range)
         t0 = time.perf_counter()
         r = native_lbfgs(problem, x0, cfg)
         walls.append(time.perf_counter() - t0)
@@ -117,14 +125,16 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
         fs.append(float(r["f"]))
         gnorms.append(float(r["g_norm"]))
         statuses.append(r["status"])
-    return _summarize("cpu-native-f64", walls, iters, fs, gnorms, statuses,
-                      len(seeds))
+    return _summarize("cpu-native-f64-scaled" if scaled
+                      else "cpu-native-f64", walls, iters, fs, gnorms,
+                      statuses, len(seeds))
 
 
 def run_tpu_cell(problem: str, d: int, strategy: str,
                  seeds=REFERENCE_SEEDS, use_pallas: bool = True,
                  dtype: str = "float32", budget_s: float = 600.0,
-                 no_rescue: bool = False) -> dict:
+                 no_rescue: bool = False,
+                 x0_range=(-1000.0, 1000.0)) -> dict:
     """To-convergence runs of the jitted TPU solver.
 
     dtype="float32", no_rescue=False: the reference PARALLEL config verbatim
@@ -144,7 +154,17 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
 
     dtype="float64": the reference SEQUENTIAL config (tol=1e-8, max 15,000,
     C2=0.9, all-double — exactly what the CPU oracle runs), giving the direct
-    GPU-vs-CPU wall-clock comparison of cuda_lbfgs.pdf §IV-A/Fig. 1.  f64 is
+    GPU-vs-CPU wall-clock comparison of cuda_lbfgs.pdf §IV-A/Fig. 1.
+
+    x0_range: start-box override.  TPU f64 is EMULATED as an f32 pair, whose
+    exponent range is f32's — from U(-1000, 1000) starts the interpolating
+    searches drive |f| through ~1e50 (fine in IEEE f64, inf in emulation),
+    so 3 of 4 strategies fail at iteration 1 under the published box.  The
+    scaled-start grid (scripts/f64_scaled_grid.py) runs x0 ~ U(-10, 10) —
+    same config, every trajectory value within f32 exponent range — on BOTH
+    the oracle and the TPU, giving each Table-I strategy a real,
+    like-for-like TPU-f64 number (labeled *-scaled; not comparable to the
+    published-box cells).  f64 is
     XLA-emulated on TPU (Pallas kernels are f32-only, so this path uses the
     jnp stack); through the axon remote-compile tunnel the emulated solver's
     compile exceeds any sane cell timeout, so the hardware protocol defaults
@@ -180,7 +200,8 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
 
         vg = fused_value_and_grad(problem, use_pallas=True)
         fused_tail = fused_tail_for(problem, with_matvec=False,
-                                    use_pallas=True)
+                                    use_pallas=True,
+                                    accurate_dots=cfg.accurate_dots)
     else:
         vg = make_value_and_grad(p.f, p.grad)
         fused_tail = None
@@ -237,7 +258,7 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
             # cost seeds).
             if walls and (sum(walls) + max(walls)) > budget_s:
                 break
-            x0 = jnp.asarray(_x0_np(d, seed), jdtype)
+            x0 = jnp.asarray(_x0_np(d, seed, *x0_range), jdtype)
             t0 = time.perf_counter()
             out = run(x0)
             float(out.f)                   # end-to-end fence (harness note)
@@ -258,10 +279,12 @@ def run_tpu_cell(problem: str, d: int, strategy: str,
         # in-process grid (isolate=False) must not run later "f32" cells
         # under silently emulated f64.
         jax.config.update("jax_enable_x64", prev_x64)
+    scaled = "-scaled" if tuple(x0_range) != (-1000.0, 1000.0) else ""
     if dtype == "float64":
-        label = "tpu-f64-seqcfg"
+        label = "tpu-f64-seqcfg" + scaled
     else:
-        label = "tpu-f32-norescue" if no_rescue else "tpu-f32-parcfg"
+        label = ("tpu-f32-norescue" if no_rescue else "tpu-f32-parcfg") \
+            + scaled
     cell = _summarize(label, walls, iters, fs, gnorms, statuses, len(seeds))
     cell["compile_s"] = round(compile_s, 1)
     return cell
@@ -543,16 +566,21 @@ def _cell_main(argv=None) -> int:
     ap.add_argument("--budget", type=float, default=600.0)
     ap.add_argument("--seeds", type=int, nargs="+",
                     default=list(REFERENCE_SEEDS))
+    ap.add_argument("--x0-range", type=float, nargs=2,
+                    default=(-1000.0, 1000.0),
+                    help="start box override (scaled-start f64 grid)")
     args = ap.parse_args(argv)
     if args.backend == "cpu":
         cell = run_cpu_cell(args.problem, args.d, args.strategy,
-                            tuple(args.seeds), budget_s=args.budget)
+                            tuple(args.seeds), budget_s=args.budget,
+                            x0_range=tuple(args.x0_range))
     else:
         cell = run_tpu_cell(
             args.problem, args.d, args.strategy, tuple(args.seeds),
             dtype="float64" if args.backend == "tpu-f64" else "float32",
             budget_s=args.budget,
-            no_rescue=args.backend == "tpu-norescue")
+            no_rescue=args.backend == "tpu-norescue",
+            x0_range=tuple(args.x0_range))
     print(json.dumps(cell))
     return 0
 

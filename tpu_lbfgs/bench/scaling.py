@@ -102,7 +102,8 @@ def bench_sharded(problem: str, d: int, iters: int, cfg: LBFGSConfig,
         f = p.f
         vg = fused_value_and_grad(problem, use_pallas=True)
         fused_tail = fused_tail_for(problem, with_matvec=with_matvec,
-                                    use_pallas=True)
+                                    use_pallas=True,
+                                    accurate_dots=cfg.accurate_dots)
         stack = ("pallas-unsharded+matvec" if with_matvec
                  else "pallas-unsharded")
     else:

@@ -161,7 +161,8 @@ def main(argv=None) -> int:
             args.problem, with_matvec="auto", use_pallas=True,
             m=cfg.m, d=args.dim,
             history_dtype=resolve_history_dtype(
-                cfg.history_dtype, cfg.m, args.dim, dtype))
+                cfg.history_dtype, cfg.m, args.dim, dtype),
+            accurate_dots=cfg.accurate_dots)
         if cfg.line_search == "backtracking_speculative" \
                 and cfg.ls_eval == "direct":
             phi_batch = multi_phi_for(args.problem, use_pallas=True)

@@ -136,9 +136,14 @@ class LBFGSConfig:
     # only option), blend y_bar = theta*y + (1-theta)*B0 s whenever
     # s.y < damping * s.B0 s, guaranteeing s.y_bar >= damping * s.B0 s > 0 —
     # every step then contributes curvature information.  Typical value 0.2;
-    # None (default) keeps exact reference semantics.  jnp tail only
-    # (incompatible with fused_tail/use_pallas); activations counted in
-    # Guard.DAMPED.  Extension beyond the reference — no oracle parity.
+    # None (default) keeps exact reference semantics.  Composes with every
+    # stack (jnp, Pallas, fused tail, sharded): the blend is applied to the
+    # RAW tail outputs post-kernel — blended scalars are algebraic in the
+    # raw reductions, the only array work is one ring-row blend, and the
+    # incremental Sg/Yg products advance with the raw gradient difference
+    # (two extra S@s/Y@s contractions build the damped SY/YY column).
+    # Activations counted in Guard.DAMPED.  Extension beyond the reference —
+    # no oracle parity.
     damping: Optional[float] = None
     # The solver bails when the line search returns alpha below this
     # (lbfgs.cpp:164-168).
@@ -181,8 +186,10 @@ class LBFGSConfig:
     history_dtype: Optional[str] = None  # None | "bfloat16" | "auto"
     # Compensated (Neumaier) reductions for the curvature-pair scalars
     # (s.y, y.y, ||g||^2) — recovers f32 bits lost to partial-sum rounding at
-    # very large d without f64 arithmetic (utils/accurate.py).  jnp tail path
-    # only; ignored when use_pallas handles the tail.
+    # very large d without f64 arithmetic (utils/accurate.py).  On the
+    # Pallas paths the kernels compensate their cross-block scalar
+    # accumulation in-kernel (kernels._neumaier_add); a fused_tail must be
+    # built with accurate_dots=True (fused_tail_for) or the solver raises.
     accurate_dots: bool = False
     # Record per-iteration trace (f, ||g||, alpha, evals) — uses a bounded scan.
     record_trace: bool = False

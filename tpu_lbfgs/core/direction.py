@@ -46,6 +46,12 @@ from ..config import LBFGSConfig
 from ..kernels import combine_direction
 from ..types import LBFGSState
 
+import os
+# Measurement-only A/B switch: TPU_LBFGS_PERM=gather restores the index-
+# gather small-matrix reordering for throughput attribution
+# (scripts/batch_opt.py; see _perm_onehot for the measured comparison).
+_ONEHOT = os.environ.get("TPU_LBFGS_PERM", "onehot") == "onehot"
+
 
 def _ring_logical_slots(n_pairs: Array, m: int) -> Tuple[Array, Array]:
     """Physical slot of each logical index j (0 = oldest), and validity mask."""
@@ -56,11 +62,41 @@ def _ring_logical_slots(n_pairs: Array, m: int) -> Tuple[Array, Array]:
     return slots, valid
 
 
+def _perm_onehot(slots: Array, m: int, dtype) -> Array:
+    """One-hot permutation matrix P with P[l, p] = 1 iff slots[l] == p, so
+    P @ v_phys gathers into logical order and P.T @ v_log scatters back.
+
+    The small-matrix reorderings run as these (m, m) matmuls rather than
+    ``A[slots][:, slots]`` index gathers: under ``vmap`` a per-lane dynamic
+    gather lowers to an XLA gather op that measured 0.76 ms/iter for ONE
+    (m, m) double-permute at B=4096 — 4x the one-hot contraction (0.18 ms)
+    and alone half the round-4 batch cell's roofline gap
+    (scripts/batch_opt.py, batch_opt_results.json)."""
+    return (slots[..., :, None]
+            == jnp.arange(m, dtype=slots.dtype)).astype(dtype)
+
+
+def _newest_scalars(state: LBFGSState, m: int) -> Tuple[Array, Array]:
+    """(s.y, y.y) of the newest pair via a one-hot dot (same gather-cost
+    argument as _perm_onehot; a batched 1-element gather is still a
+    gather)."""
+    newest = (state.n_pairs - 1) % m
+    oh = (jnp.arange(m, dtype=newest.dtype) == newest)
+    dt = state.sy_hist.dtype
+    return (jnp.sum(state.sy_hist * oh.astype(dt)),
+            jnp.sum(state.yy_hist * oh.astype(dt)))
+
+
 def _gamma(state: LBFGSState, m: int) -> Array:
     """Initial Hessian scaling gamma = s'y / y'y of the newest pair
     (lbfgs.cpp:117-118), from the precomputed per-slot scalars."""
+    if _ONEHOT:
+        sy_n, yy_n = _newest_scalars(state, m)
+        return sy_n / yy_n
     newest = (state.n_pairs - 1) % m
     return state.sy_hist[newest] / state.yy_hist[newest]
+
+
 
 
 def two_loop_direction(cfg: LBFGSConfig, state: LBFGSState) -> Array:
@@ -156,8 +192,15 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
     slots, valid = _ring_logical_slots(state.n_pairs, m)
 
     # --- permute the small quantities into logical (chronological) order -----
-    SY = SY_p[slots][:, slots]
-    YY = YY_p[slots][:, slots]
+    # One-hot contractions, NOT index gathers (see _perm_onehot: the gather
+    # lowering is the measured batch-cell bottleneck).
+    if _ONEHOT:
+        P = _perm_onehot(slots, m, dtype)
+        SY = P @ SY_p @ P.T
+        YY = P @ YY_p @ P.T
+    else:
+        SY = SY_p[slots][:, slots]
+        YY = YY_p[slots][:, slots]
     if cfg.pair_skip_threshold is not None:
         # GPU-reference semantics (L-BFGS.cu:222-223) extended to the compact
         # formulation: individually mask low-curvature pairs.  Without this a
@@ -165,8 +208,12 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
         # near-zero pivot on R's diagonal and the triangular solve emits an
         # astronomically large — but finite — direction.
         valid = valid & (jnp.diagonal(SY) > cfg.pair_skip_threshold)
-    p1 = jnp.where(valid, Sg_p[slots], 0.0)
-    p2 = jnp.where(valid, Yg_p[slots], 0.0)
+    if _ONEHOT:
+        p1 = jnp.where(valid, P @ Sg_p, 0.0)
+        p2 = jnp.where(valid, P @ Yg_p, 0.0)
+    else:
+        p1 = jnp.where(valid, Sg_p[slots], 0.0)
+        p2 = jnp.where(valid, Yg_p[slots], 0.0)
 
     vmask2 = valid[:, None] & valid[None, :]
     d_diag = jnp.where(valid, jnp.diagonal(SY), 1.0)       # s_i . y_i
@@ -178,14 +225,26 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
 
     gamma = _gamma(state, m)
 
+    # Library triangular solves on purpose: an unrolled back-substitution
+    # (m static) wins in ISOLATION (0.12 vs 0.21 ms/iter batched) but LOSES
+    # ~1.2 ms/iter inside the full batched program — the m-long scalar
+    # dependency chain serializes against the surrounding ops, while XLA
+    # schedules the library solve's blocked form concurrently
+    # (batch_opt_results.json tri cells vs the all_new/old_tri e2e combos).
     solve = jax.scipy.linalg.solve_triangular
     u = solve(R, p1, lower=False)                           # R^{-1} S'g
     t = d_diag * u + gamma * (YYm @ u) - gamma * p2         # (D + gamma Y'Y) u - gamma Y'g
     v = solve(R.T, t, lower=True)                           # R^{-T} t
 
-    # Scatter coefficients back to physical slot order; invalid entries are 0.
-    v_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, v, 0.0))
-    u_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, u, 0.0))
+    # Scatter coefficients back to physical slot order via P.T (invalid
+    # entries are 0; P rows of invalid logical indices still hit a slot, so
+    # mask BEFORE the contraction).
+    if _ONEHOT:
+        v_phys = P.T @ jnp.where(valid, v, 0.0)
+        u_phys = P.T @ jnp.where(valid, u, 0.0)
+    else:
+        v_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, v, 0.0))
+        u_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, u, 0.0))
 
     # --- second pass over the history: r = gamma*g + S'v - gamma * Y'u -------
     # Measured on v5e (d=2^20, m=10): XLA's fused matmul beats the Pallas

@@ -30,6 +30,7 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
@@ -46,18 +47,44 @@ from .direction import compute_direction_with_aux
 ObjFn = Callable[[Array], Array]
 ValGradFn = Callable[[Array], Tuple[Array, Array]]
 
+# Measurement-only A/B switch (read at trace time): set
+# TPU_LBFGS_NO_GUARD_COUNTERS=1 to drop the per-iteration guard-counter
+# stack from the hot loop — used to attribute headline-throughput deltas to
+# the round-4 counter addition vs environment (scripts/headline_ab).  Never
+# set in production: guards arrive as zeros and the CLI verbose replay goes
+# blind.
+_COUNT_GUARDS = os.environ.get("TPU_LBFGS_NO_GUARD_COUNTERS", "") != "1"
 
-def resolve_history_dtype(history_dtype, m: int, d: int, dtype) -> object:
+
+def resolve_history_dtype(history_dtype, m: int, d: int, dtype,
+                          batch: int = 1) -> object:
     """Resolve history_dtype="auto" (see init_state docstring): f32 while
-    the (2, m, d) ring fits VMEM-resident, bfloat16 once it streams; f64
-    inputs always keep full precision."""
+    the history ring fits VMEM-resident, bfloat16 once it streams; f64
+    inputs always keep full precision.
+
+    ``batch``: per-device vmapped lane count — residency is a property of
+    the TOTAL live footprint (batch x 2 m d), not the per-instance ring
+    (batch.vmapped.vmap_minimize and dist.sharded thread it through; a
+    B=4096 x d=1024 batch streams 335 MB of ring even though each instance's
+    80 KB looks resident).
+
+    Sublane-tiling condition: bf16 HBM tiles are (16, 128) vs f32's
+    (8, 128), so a ring whose per-instance row block R = d/128 is not a
+    multiple of 16 pads every row — at d=1024 (R=8) that is 100% waste and
+    bf16 measured SLOWER than f32 (2.73 vs 2.41 ms/iter at B=4096) while at
+    d=4096 (R=32) it wins (1.64 vs 1.80 at B=1024); batch_opt_results.json.
+    Auto therefore requires R % 16 == 0 (equivalently d % 2048 == 0) on top
+    of the streaming condition."""
     if history_dtype != "auto":
         return history_dtype
+    from ..types import hist_block
     from ..utils.roofline import history_streams
 
     dtype = jnp.dtype(dtype)
-    streams = history_streams(m, d, dtype.itemsize)
-    return "bfloat16" if (streams and dtype == jnp.float32) else None
+    streams = history_streams(m, d, dtype.itemsize, batch=batch)
+    tiles_cleanly = hist_block(d)[0] % 16 == 0
+    return "bfloat16" if (streams and tiles_cleanly
+                          and dtype == jnp.float32) else None
 
 
 def init_state(vg: ValGradFn, x0: Array, m: int,
@@ -183,24 +210,23 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     fused_tail: optional single-stream post-line-search tail (see
     problems.suite.fused_tail_for / kernels.make_fused_tail); when given it
     replaces the x_new + vg + iteration_tail + history-matvec chain with one
-    kernel.  Incompatible with cfg.accurate_dots (the fused kernel uses
-    plain per-block accumulation).
+    kernel.  Under cfg.accurate_dots the tail must have been built with
+    accurate_dots=True (in-kernel Neumaier compensation); a plain tail is
+    rejected rather than silently dropping the compensation.
     phi_batch: optional batched trial evaluator (problems.suite.multi_phi_for)
     used by the speculative line search under ls_eval="direct".
     """
-    if cfg.accurate_dots and (fused_tail is not None or cfg.use_pallas):
-        # The fused tail / Pallas kernels use plain per-block accumulation;
-        # silently dropping the requested Neumaier-compensated reductions
-        # (the whole point of accurate_dots at giant d) would corrupt exactly
-        # the runs that asked for them.
+    if cfg.accurate_dots and fused_tail is not None \
+            and not getattr(fused_tail, "accurate_dots", False):
+        # The compensated kernels exist (kernels.make_fused_tail
+        # accurate_dots=True / fused_tail_for(..., accurate_dots=True)) —
+        # but silently running a PLAIN tail under cfg.accurate_dots would
+        # drop the requested Neumaier compensation exactly where it was
+        # asked for (giant-d f32).  The non-fused Pallas path below passes
+        # the flag through iteration_tail itself.
         raise ValueError(
-            "cfg.accurate_dots is incompatible with fused_tail/use_pallas "
-            "(kernels accumulate per-block, not compensated); disable one")
-    if cfg.damping is not None and (fused_tail is not None or cfg.use_pallas):
-        # The damped pair rewrites y before storage; the fused tail emits the
-        # raw (s, y) rows and scalars in-kernel.
-        raise ValueError(
-            "cfg.damping requires the jnp tail (no fused_tail/use_pallas)")
+            "cfg.accurate_dots requires a fused tail built with "
+            "accurate_dots=True (fused_tail_for(..., accurate_dots=True))")
     m = state.s_hist.shape[0]
     x, g = state.x, state.g
 
@@ -225,13 +251,21 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     hdtype = state.s_hist.dtype
     t1_pre = t2_pre = None
     damp_fired = jnp.bool_(False)
+    theta = one_m = None
     if fused_tail is not None:
         # Single HBM stream: x_new, f_new, g_new, ring rows (history dtype),
         # all pair/convergence scalars, and the pre-update history matvecs
-        # against y_new.
+        # against the RAW y_new (the kernel computes y = g_new - g; damping
+        # blends post-kernel below).
         (x_new, f_new, g_new, s_h, y_h, sy, yy, gg_new, dgn, ggn, ygn,
          t1_pre, t2_pre) = fused_tail(x, d, alpha, g,
                                       state.s_hist, state.y_hist)
+        # s.s for the damping threshold: alpha^2 * d.d — one extra pass over
+        # d, only when damping is configured (XLA fuses it with d's other
+        # consumers).
+        ss = alpha * alpha * jnp.vdot(d, d) if cfg.damping is not None \
+            else None
+        y_raw_h = y_h
     else:
         x_new = x + alpha * d
         f_new, g_new = vg(x_new)
@@ -250,42 +284,60 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
             dgn = compensated_dot(d, g_new)
             ggn = compensated_dot(g, g_new)
             ygn = compensated_dot(y, g_new)
+            ss = compensated_dot(s, s) if cfg.damping is not None else None
         else:
+            # accurate_dots + use_pallas: the tail kernel compensates its
+            # cross-block accumulation in-kernel (kernels._neumaier_add).
             x_new, s, y, sy, yy, gg_new, dgn, ggn = iteration_tail(
-                x, d, alpha, g, g_new, use_pallas=cfg.use_pallas)
+                x, d, alpha, g, g_new, use_pallas=cfg.use_pallas,
+                accurate=cfg.accurate_dots)
             ygn = jnp.vdot(y, g_new)   # y_new.g_new (exact; fuses into the
             #                            tail's read of y/g_new)
-        if cfg.damping is not None:
-            # Powell damping with B0 = I/gamma (config.py docstring): blend
-            # y_bar = theta*y + (1-theta)*s/gamma when s.y < mu * s.s/gamma.
-            # Only ONE extra reduction (s.s); the blended scalars follow
-            # algebraically from the raw ones:
-            #   s.y_bar   = theta*sy  + (1-theta)*ss/gamma
-            #   y_bar.y_bar = theta^2*yy + 2 theta(1-theta) sy/gamma
-            #                 + ((1-theta)/gamma)^2 ss
-            #   y_bar.g_new = theta*ygn + (1-theta)*(s.g_new)/gamma,
-            #   s.g_new = alpha * dgn.
-            from .direction import _gamma
-
-            gamma_p = _gamma(state, m)         # 1.0 before the first pair
-            ss = jnp.vdot(s, s)
-            sBs = ss / gamma_p
-            mu = jnp.asarray(cfg.damping, sy.dtype)
-            damp_fired = sy < mu * sBs
-            denom = sBs - sy
-            theta = jnp.where(damp_fired & (denom > 0) & jnp.isfinite(denom),
-                              (1.0 - mu) * sBs / jnp.where(denom > 0, denom,
-                                                           1.0),
-                              1.0)
-            one_m = (1.0 - theta) / gamma_p
-            y = theta * y + one_m * s
-            ygn = theta * ygn + one_m * (alpha * dgn)
-            yy = theta * theta * yy + 2.0 * theta * one_m * sy \
-                + one_m * one_m * ss
-            sy = theta * sy + one_m * ss
-            damp_fired = damp_fired & (theta < 1.0)
+            ss = jnp.vdot(s, s) if cfg.damping is not None else None
         s_h = s.astype(hdtype)
-        y_h = y.astype(hdtype)
+        y_h = y_raw_h = y.astype(hdtype)
+
+    if cfg.damping is not None:
+        # Powell damping with B0 = I/gamma (config.py docstring): blend
+        # y_bar = theta*y + (1-theta)*s/gamma when s.y < mu * s.s/gamma.
+        # Runs uniformly AFTER either tail (jnp, Pallas, fused, sharded):
+        # the blended scalars follow algebraically from the raw tail
+        # reductions —
+        #   s.y_bar     = theta*sy  + (1-theta)*ss/gamma
+        #   y_bar.y_bar = theta^2*yy + 2 theta(1-theta) sy/gamma
+        #                 + ((1-theta)/gamma)^2 ss
+        #   y_bar.g_new = theta*ygn + (1-theta)*(s.g_new)/gamma,
+        #   s.g_new = alpha * dgn
+        # — and the only array work is the (R, L) ring-row blend.  The RAW
+        # ygn/u1/u2 stay available for the incremental Sg/Yg advance (whose
+        # invariant is over the raw gradient difference g_new = g + y_raw).
+        from .direction import _gamma
+
+        gamma_p = _gamma(state, m)         # 1.0 before the first pair
+        sBs = ss / gamma_p
+        mu = jnp.asarray(cfg.damping, sy.dtype)
+        damp_fired = sy < mu * sBs
+        denom = sBs - sy
+        theta = jnp.where(damp_fired & (denom > 0) & jnp.isfinite(denom),
+                          (1.0 - mu) * sBs / jnp.where(denom > 0, denom,
+                                                       1.0),
+                          1.0)
+        one_m = (1.0 - theta) / gamma_p
+        if fused_tail is None:
+            # Raw f32/f64 s, y still live: blend at full precision, then
+            # cast once.
+            y_h = (theta * y + one_m * s).astype(hdtype)
+        else:
+            # Fused path: blend the kernel's history-dtype rows (one row
+            # read + write; the stored row is hdtype-rounded either way).
+            fdt = x.dtype
+            y_h = (theta * y_h.astype(fdt)
+                   + one_m * s_h.astype(fdt)).astype(hdtype)
+        ygn = theta * ygn + one_m * (alpha * dgn)
+        yy = theta * theta * yy + 2.0 * theta * one_m * sy \
+            + one_m * one_m * ss
+        sy = theta * sy + one_m * ss
+        damp_fired = damp_fired & (theta < 1.0)
     # Non-finite trial rejection: under ls_eval="polynomial" the acceptance
     # decisions use the closed-form phi, whose f32 evaluation can misjudge a
     # knife-edge step that sends the TRUE f to inf/nan (observed on ~4/4096
@@ -302,14 +354,22 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
     slot = (state.n_pairs % m).astype(jnp.int32)
     # Row-masked ring update: only slot's (R, L) block moves, and only when
-    # storing.
+    # storing.  (An out-of-bounds + mode="drop" formulation that skips the
+    # old-row read was measured: ~equal runtime, but it ballooned XLA
+    # compile from ~15 s to 140-515 s on the batched program — rejected;
+    # batch_opt_results.json ring cells.)
     blk = state.s_hist.shape[1:]
     s_row = jnp.where(store, s_h.reshape(blk), state.s_hist[slot])
     y_row = jnp.where(store, y_h.reshape(blk), state.y_hist[slot])
     s_hist = state.s_hist.at[slot].set(s_row)
     y_hist = state.y_hist.at[slot].set(y_row)
-    sy_hist = state.sy_hist.at[slot].set(jnp.where(store, sy, state.sy_hist[slot]))
-    yy_hist = state.yy_hist.at[slot].set(jnp.where(store, yy, state.yy_hist[slot]))
+    # Small per-slot scalars: iota==slot selects, not scatters (a batched
+    # (m,) scatter lowers to a slow scatter op; the select is pure vector
+    # arithmetic — scripts/batch_opt.py old_small cell).
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    sel = (iota_m == slot) & store
+    sy_hist = jnp.where(sel, sy, state.sy_hist)
+    yy_hist = jnp.where(sel, yy, state.yy_hist)
 
     # --- incremental history products (direction="compact_incremental") -----
     # Maintains SY = S.Y', YY = Y.Y', Sg = S.g, Yg = Y.g across iterations so
@@ -319,39 +379,62 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # as (S@g_new) - (S@g): catastrophic cancellation when ||y|| << ||g||,
     # observed as degenerate directions on ~1/1000 f32 Rosenbrock lanes.
     if cfg.direction == "compact_incremental":
+        dn3 = (((1, 2), (0, 1)), ((), ()))
         if t1_pre is not None:
             # From the fused tail, contracted over the PRE-update rows: rows
             # other than slot are unchanged by the ring write, and the slot
             # entries are overwritten from scalars below — identical result.
             u1, u2 = t1_pre, t2_pre
         else:
-            # One fresh contraction per iteration, against the new pair:
-            # u1 = S @ y_new, u2 = Y @ y_new over the (R, L) row blocks.
+            # One fresh contraction per iteration, against the new pair's
+            # RAW y (u1 = S @ y_raw, u2 = Y @ y_raw over the (R, L) row
+            # blocks): the Sg/Yg advance below requires the raw gradient
+            # difference (g_new = g + y_raw), NOT the damped y_bar — using
+            # the damped row here silently corrupted every off-slot Sg/Yg
+            # entry on damped iterations (round-4 advisor finding).
             # y stays in history dtype so the operands match (bf16 x bf16 ->
             # f32 is MXU-native; NOTE measured: matched dtypes do NOT close
             # bf16's ~20% end-to-end deficit vs f32 under the lane-tiled
             # layout — f32 history remains the fast default).
-            y3 = y_h.reshape(blk)
-            dn3 = (((1, 2), (0, 1)), ((), ()))
+            y3 = y_raw_h.reshape(blk)
             u1 = lax.dot_general(state.s_hist, y3, dn3,
                                  preferred_element_type=g.dtype)
             u2 = lax.dot_general(state.y_hist, y3, dn3,
                                  preferred_element_type=g.dtype)
-        # Sg/Yg advance additively: s_i.g_new = s_i.g + s_i.y_new; the slot
-        # entries come from the exact tail reductions.
-        Sg_next = state.Sg + u1
-        Yg_next = state.Yg + u2
-        Sg_next = jnp.where(store, Sg_next.at[slot].set(alpha * dgn), Sg_next)
-        Yg_next = jnp.where(store, Yg_next.at[slot].set(ygn), Yg_next)
+        # Sg/Yg advance additively: s_i.g_new = s_i.g + s_i.y_raw; the slot
+        # entries come from the exact tail reductions (Yg[slot] is the
+        # STORED row's dot, i.e. the damped y_bar.g_new when damping fired).
+        # ``sel`` = (iota==slot & store): select-based slot patch.
+        Sg_next = jnp.where(sel, alpha * dgn, state.Sg + u1)
+        Yg_next = jnp.where(sel, ygn, state.Yg + u2)
 
-        # New column of SY / YY directly from u1/u2 (diagonals from the
-        # exact tail scalars).  SY[slot, :] (s_new . y_older) lies strictly
-        # below the diagonal in logical order and is never read by the
-        # compact algebra (R = triu) — left stale by design.
-        SY_next = state.SY.at[:, slot].set(u1.at[slot].set(sy))
-        yy_col = u2.at[slot].set(yy)
-        YY_next = state.YY.at[:, slot].set(yy_col)
-        YY_next = YY_next.at[slot, :].set(yy_col)
+        # New column of SY / YY: s_i . y_new / y_i . y_new over the STORED
+        # y_new row.  Undamped, that is exactly u1/u2; when damping fired,
+        # the stored row is y_bar = theta*y_raw + one_m*s_new, so the column
+        # blends u1/u2 with the two extra contractions S@s_new / Y@s_new
+        # (cfg.damping is static: the contractions exist only in damped
+        # programs).  Diagonals from the exact tail scalars.  SY[slot, :]
+        # (s_new . y_older) lies strictly below the diagonal in logical
+        # order and is never read by the compact algebra (R = triu) — left
+        # stale by design.
+        if cfg.damping is not None:
+            s3 = s_h.reshape(blk)
+            us1 = lax.dot_general(state.s_hist, s3, dn3,
+                                  preferred_element_type=g.dtype)
+            us2 = lax.dot_general(state.y_hist, s3, dn3,
+                                  preferred_element_type=g.dtype)
+            col1 = theta * u1 + one_m * us1
+            col2 = theta * u2 + one_m * us2
+        else:
+            col1, col2 = u1, u2
+        # Column/row writes as iota==slot selects (same reasoning as the
+        # per-slot scalars above).
+        is_slot = iota_m == slot
+        sy_col = jnp.where(is_slot, sy, col1)
+        yy_col = jnp.where(is_slot, yy, col2)
+        SY_next = jnp.where(is_slot[None, :], sy_col[:, None], state.SY)
+        YY_next = jnp.where(is_slot[None, :], yy_col[:, None], state.YY)
+        YY_next = jnp.where(is_slot[:, None], yy_col[None, :], YY_next)
 
         SY_next = jnp.where(store, SY_next, state.SY)
         YY_next = jnp.where(store, YY_next, state.YY)
@@ -382,7 +465,7 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
     # In the single-instance while_loop path active is always True.
     active = state.status == Status.RUNNING
     b2i = lambda b: jnp.asarray(b & active, jnp.int32)
-    guards = state.guards + jnp.stack([
+    guards = state.guards if not _COUNT_GUARDS else state.guards + jnp.stack([
         # Empty-history steepest descent is the normal start, not a warning
         # event (the reference warns only on invalid rho/gamma,
         # lbfgs.cpp:105,121).
@@ -431,9 +514,18 @@ def iterate(cfg: LBFGSConfig, f: ObjFn, vg: ValGradFn,
 
 
 def _finalize_status(cfg: LBFGSConfig, state: LBFGSState) -> Array:
+    # g_norm < tol wins over every other status, INCLUDING
+    # LINE_SEARCH_FAILED: under solve_bounded a lane that reaches tol keeps
+    # iterating (no per-iteration convergence cond), and a later
+    # near-optimum line-search underflow freezes it with FAILED — but the
+    # lane froze AT a point satisfying tol, which the 'while' formulation
+    # reports as CONVERGED.  For the while_loop path this ordering is a
+    # no-op: a failed lane froze its g BEFORE reaching tol (the loop never
+    # iterates a lane whose g_norm is already < tol), so its g_norm is
+    # still >= tol here.
     return jnp.where(
-        state.status != Status.RUNNING, state.status,
-        jnp.where(state.g_norm < cfg.tol, Status.CONVERGED,
+        state.g_norm < cfg.tol, Status.CONVERGED,
+        jnp.where(state.status != Status.RUNNING, state.status,
                   Status.MAX_ITERS)).astype(jnp.int32)
 
 

@@ -107,13 +107,18 @@ def shardmap_fused_vg(problem: str, mesh: Mesh, n: int,
 
 def shardmap_fused_tail(problem: str, mesh: Mesh, n: int,
                         d_axis: str = "d",
-                        with_matvec: bool = False) -> Callable:
+                        with_matvec: bool = False,
+                        accurate_dots: bool = False) -> Callable:
     """The fused post-line-search tail (kernels.make_fused_tail) running
     per-shard inside shard_map.
 
     Returns ``tail(x, d, alpha, g, s_hist, y_hist)`` with the solver's exact
     contract: vectors stay sharded, the 7 reduction scalars (and the history
     matvecs when with_matvec) are finished with ONE packed psum.
+
+    accurate_dots: per-shard in-kernel Neumaier compensation
+    (cfg.accurate_dots); the cross-shard psum is a tree over n_shards
+    partials — negligible extra rounding next to the per-shard streams.
     """
 
     def impl(x_l, d_l, alpha, g_l, s_h_l, y_h_l):
@@ -130,7 +135,8 @@ def shardmap_fused_tail(problem: str, mesh: Mesh, n: int,
         (xnew, f_new, gnew, srow, yrow, sy, yy, gg, dgn, ggn, ygn,
          t1, t2) = _fused_tail_pallas(problem, x_l, d_l, alpha, g_l,
                                       s_h_l, y_h_l, with_matvec,
-                                      n=n, start=start, edges=edges, br=br)
+                                      n=n, start=start, edges=edges, br=br,
+                                      accurate=accurate_dots)
         scal = jnp.stack([f_new, sy, yy, gg, dgn, ggn, ygn])
         if with_matvec:
             packed = lax.psum(jnp.concatenate([scal, t1, t2]), d_axis)
@@ -158,6 +164,7 @@ def shardmap_fused_tail(problem: str, mesh: Mesh, n: int,
             return outs
         return outs + (None, None)
 
+    tail.accurate_dots = accurate_dots
     return tail
 
 

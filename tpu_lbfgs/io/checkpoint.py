@@ -178,8 +178,21 @@ def save_state_sharded(dir_path, state: LBFGSState) -> None:
 
         multihost_utils.sync_global_devices("tpu_lbfgs_ckpt_shards_written")
     if proc == 0:
+        # Stale-shard cleanup BEFORE the commit marker: re-saving into a
+        # directory previously written by a job with MORE processes would
+        # otherwise leave shard-N.npz files whose chunks cover the same
+        # global slices with old data — a restore unioning them could
+        # silently mix iterations (round-4 advisor finding).
+        nproc = int(jax.process_count())
+        for stale in dir_path.glob("shard-*.npz"):
+            try:
+                idx_no = int(stale.stem.split("-", 1)[1])
+            except ValueError:
+                continue
+            if idx_no >= nproc:
+                stale.unlink()
         index = {"schema": _SCHEMA_SHARDED,
-                 "num_processes": int(jax.process_count()),
+                 "num_processes": nproc,
                  "fields": fields}
         tmp_idx = dir_path / "index.json.tmp"
         tmp_idx.write_text(json.dumps(index, indent=1))
@@ -198,9 +211,17 @@ def load_state_sharded(dir_path, mesh, d_axis: str = "d",
     process ever materializes the full state and the restore mesh may differ
     from the save mesh.
 
-    Note (multi-host): on process p, only chunks covering p's addressable
-    slices are read; shard files of other hosts are opened lazily and only
-    if a slice actually needs them.
+    Note (multi-host): every committed shard file
+    (``shard-0..{num_processes-1}.npz`` per ``index.json``) is opened up
+    front to read its chunk map — all files must therefore be readable on
+    every restoring process (shared filesystem, or same-layout restore from
+    per-host local disks where each host's own file covers its slices, with
+    the replicated leaves present in every file).  Only chunk DATA that a
+    local slice actually intersects is copied.  Shard files beyond
+    num_processes are an error: they are stale leftovers from an earlier
+    larger-job save (save_state_sharded deletes them, but a directory
+    written by an older version may still carry them) and unioning their
+    chunks could silently mix iterations.
     """
     import jax
 
@@ -223,9 +244,23 @@ def load_state_sharded(dir_path, mesh, d_axis: str = "d",
             handles[proc_file] = (z, casts)
         return handles[proc_file]
 
-    shard_files = sorted(dir_path.glob("shard-*.npz"))
-    if not shard_files:
-        raise FileNotFoundError(f"no shard-*.npz under {dir_path}")
+    # Exactly the committed set: shard-0..N-1 per the index (NOT a glob —
+    # see the stale-file note in the docstring).
+    nproc = int(index.get("num_processes", 1))
+    shard_files = [dir_path / f"shard-{p}.npz" for p in range(nproc)]
+    missing = [str(p) for p in shard_files if not p.exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"sharded checkpoint {dir_path} is missing committed shard "
+            f"files {missing} (index.json says num_processes={nproc})")
+    extras = sorted(set(dir_path.glob("shard-*.npz")) - set(shard_files))
+    if extras:
+        raise ValueError(
+            f"sharded checkpoint {dir_path} contains shard files beyond "
+            f"index.json's num_processes={nproc}: "
+            f"{[p.name for p in extras]} — stale leftovers from an earlier "
+            f"save with more processes; delete them (their chunks cover "
+            f"the same global slices with old data)")
 
     # Union of every process's chunk map: {field: [(key, index, file), ...]}.
     # Keys are unique per (field, process, shard-position); replicated leaves

@@ -96,41 +96,60 @@ def pallas_ok(*arrays: Array) -> bool:
 # iteration_tail
 # -----------------------------------------------------------------------------
 
-def _iteration_tail_kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
-                           xnew_ref, s_ref, y_ref, sy_ref, yy_ref, gg_ref,
-                           dgn_ref, ggn_ref, acc_ref):
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[0] = 0.0  # s.y
-        acc_ref[1] = 0.0  # y.y
-        acc_ref[2] = 0.0  # g_new.g_new
-        acc_ref[3] = 0.0  # d.g_new   (incremental SY row update)
-        acc_ref[4] = 0.0  # g.g_new   (incremental Yg patch)
-
-    alpha = alpha_ref[0]
-    s = alpha * d_ref[:]
-    y = gn_ref[:] - g_ref[:]
-    xnew_ref[:] = x_ref[:] + s
-    s_ref[:] = s
-    y_ref[:] = y
-    acc_ref[0] += jnp.sum(s * y)
-    acc_ref[1] += jnp.sum(y * y)
-    acc_ref[2] += jnp.sum(gn_ref[:] * gn_ref[:])
-    acc_ref[3] += jnp.sum(d_ref[:] * gn_ref[:])
-    acc_ref[4] += jnp.sum(g_ref[:] * gn_ref[:])
-
-    @pl.when(j == pl.num_programs(0) - 1)
-    def _():
-        sy_ref[0, 0] = acc_ref[0]
-        yy_ref[0, 0] = acc_ref[1]
-        gg_ref[0, 0] = acc_ref[2]
-        dgn_ref[0, 0] = acc_ref[3]
-        ggn_ref[0, 0] = acc_ref[4]
+def _neumaier_add(acc_ref, comp_base: int, i: int, b):
+    """One Neumaier (improved Kahan) step folding block-partial ``b`` into
+    SMEM accumulator i, with the running compensation at comp_base + i.
+    The per-block partial itself is a plain f32 tree sum (error ~log2(block)
+    ulps); the compensation removes the O(n_blocks)-growth term of the
+    sequential cross-block accumulation — the dominant rounding source at
+    giant d (1024 blocks at d=2^26)."""
+    a = acc_ref[i]
+    t = a + b
+    comp = jnp.where(jnp.abs(a) >= jnp.abs(b), (a - t) + b, (b - t) + a)
+    acc_ref[comp_base + i] += comp
+    acc_ref[i] = t
 
 
-def _iteration_tail_pallas(x, d, alpha, g, g_new):
+def _make_iteration_tail_kernel(compensated: bool):
+    def kernel(alpha_ref, x_ref, d_ref, g_ref, gn_ref,
+               xnew_ref, s_ref, y_ref, sy_ref, yy_ref, gg_ref,
+               dgn_ref, ggn_ref, acc_ref):
+        j = pl.program_id(0)
+        n_acc = 5
+
+        @pl.when(j == 0)
+        def _():
+            for i in range(n_acc * (2 if compensated else 1)):
+                acc_ref[i] = 0.0
+
+        alpha = alpha_ref[0]
+        s = alpha * d_ref[:]
+        y = gn_ref[:] - g_ref[:]
+        xnew_ref[:] = x_ref[:] + s
+        s_ref[:] = s
+        y_ref[:] = y
+        partials = (jnp.sum(s * y),                      # s.y
+                    jnp.sum(y * y),                      # y.y
+                    jnp.sum(gn_ref[:] * gn_ref[:]),      # g_new.g_new
+                    jnp.sum(d_ref[:] * gn_ref[:]),       # d.g_new
+                    jnp.sum(g_ref[:] * gn_ref[:]))       # g.g_new
+        for i, b in enumerate(partials):
+            if compensated:
+                _neumaier_add(acc_ref, n_acc, i, b)
+            else:
+                acc_ref[i] += b
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            outs = (sy_ref, yy_ref, gg_ref, dgn_ref, ggn_ref)
+            for i, o in enumerate(outs):
+                o[0, 0] = (acc_ref[i] + acc_ref[n_acc + i]) if compensated \
+                    else acc_ref[i]
+
+    return kernel
+
+
+def _iteration_tail_pallas(x, d, alpha, g, g_new, accurate: bool = False):
     dd = x.shape[0]
     x2, d2, g2, gn2 = (_pad_rows(_as2d(v), BLOCK_ROWS)
                        for v in (x, d, g, g_new))
@@ -142,7 +161,7 @@ def _iteration_tail_pallas(x, d, alpha, g, g_new):
     f32 = jnp.float32
 
     xnew, s, y, sy, yy, gg, dgn, ggn = pl.pallas_call(
-        _iteration_tail_kernel,
+        _make_iteration_tail_kernel(accurate),
         grid=(rows // BLOCK_ROWS,),
         in_specs=[scal, blk, blk, blk, blk],
         out_specs=(blk, blk, blk, out_scal, out_scal, out_scal, out_scal,
@@ -157,7 +176,7 @@ def _iteration_tail_pallas(x, d, alpha, g, g_new):
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, 1), f32),
         ),
-        scratch_shapes=[pltpu.SMEM((5,), f32)],
+        scratch_shapes=[pltpu.SMEM((10 if accurate else 5,), f32)],
         interpret=_interpret(),
     )(jnp.reshape(alpha.astype(f32), (1,)), x2, d2, g2, gn2)
 
@@ -174,15 +193,27 @@ def _iteration_tail_jnp(x, d, alpha, g, g_new):
 
 
 def iteration_tail(x: Array, d: Array, alpha: Array, g: Array, g_new: Array,
-                   use_pallas: bool = True):
+                   use_pallas: bool = True, accurate: bool = False):
     """(x_new, s, y, s.y, y.y, ||g_new||^2, d.g_new, g.g_new) in one HBM pass.
 
     Replaces the reference's updateSolution + updateVectors kernels plus
     three separate cuBLAS Ddots (L-BFGS.cu:55-63,19-31,219-244,345-348); the
     last two scalars feed the incremental history-product updates
-    (direction="compact_incremental")."""
+    (direction="compact_incremental").
+
+    accurate: Neumaier-compensate the cross-block scalar accumulation
+    (cfg.accurate_dots on the Pallas path — see _neumaier_add); the jnp
+    fallback of an accurate call uses utils.accurate.compensated_dot."""
     if use_pallas and pallas_ok(x, d, g, g_new):
-        return _iteration_tail_pallas(x, d, alpha, g, g_new)
+        return _iteration_tail_pallas(x, d, alpha, g, g_new,
+                                      accurate=accurate)
+    if accurate:
+        from ..utils.accurate import compensated_dot
+        s = alpha * d
+        y = g_new - g
+        return (x + s, s, y, compensated_dot(s, y), compensated_dot(y, y),
+                compensated_dot(g_new, g_new), compensated_dot(d, g_new),
+                compensated_dot(g, g_new))
     return _iteration_tail_jnp(x, d, alpha, g, g_new)
 
 
@@ -620,7 +651,13 @@ def local_fused_vg(problem: str, x_local: Array, n: int, start,
 # -----------------------------------------------------------------------------
 
 def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
-                      hdtype, br: int):
+                      hdtype, br: int, compensated: bool = False):
+    # SMEM scratch layout: [0..6] the seven scalar accumulators (f, s.y,
+    # y.y, g.g, d.g_new, g.g_new, y.g_new); [7] the backward-carry seed;
+    # with ``compensated``, [8..14] the Neumaier compensation terms
+    # (cfg.accurate_dots — the t1/t2 history matvec lane-partials stay
+    # plain: they feed only the SY/YY off-diagonals, never a curvature or
+    # convergence decision, and each lane accumulates far fewer addends).
     def kernel(*refs):
         ns_ref, alpha_ref = refs[0], refs[1]
         k = 2
@@ -650,6 +687,9 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
         def _():
             for i in range(7):
                 acc_ref[i] = 0.0
+            if compensated:
+                for i in range(8, 15):
+                    acc_ref[i] = 0.0
             # Backward-carry seed: previous shard's last x_new element
             # (zeros unsharded; the gidx >= 1 mask discards it at the true
             # global boundary).
@@ -687,13 +727,14 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
         gnew_ref[:] = g_new
         y = g_new - g
         yrow_ref[:] = y.astype(hdtype)
-        acc_ref[0] += jnp.sum(f_blk)
-        acc_ref[1] += jnp.sum(s * y)
-        acc_ref[2] += jnp.sum(y * y)
-        acc_ref[3] += jnp.sum(g_new * g_new)
-        acc_ref[4] += jnp.sum(dv * g_new)
-        acc_ref[5] += jnp.sum(g * g_new)
-        acc_ref[6] += jnp.sum(y * g_new)
+        partials = (jnp.sum(f_blk), jnp.sum(s * y), jnp.sum(y * y),
+                    jnp.sum(g_new * g_new), jnp.sum(dv * g_new),
+                    jnp.sum(g * g_new), jnp.sum(y * g_new))
+        for i, b in enumerate(partials):
+            if compensated:
+                _neumaier_add(acc_ref, 8, i, b)
+            else:
+                acc_ref[i] += b
         if with_matvec:
             # Contract against the NEW pair's y (no-cancellation incremental
             # updates; see solver).  Lane-partial accumulation: reduce
@@ -707,20 +748,18 @@ def _make_tail_kernel(body, needs_halo: bool, with_matvec: bool, m: int,
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
-            f_o[0, 0] = acc_ref[0]
-            sy_o[0, 0] = acc_ref[1]
-            yy_o[0, 0] = acc_ref[2]
-            gg_o[0, 0] = acc_ref[3]
-            dgn_o[0, 0] = acc_ref[4]
-            ggn_o[0, 0] = acc_ref[5]
-            ygn_o[0, 0] = acc_ref[6]
+            outs = (f_o, sy_o, yy_o, gg_o, dgn_o, ggn_o, ygn_o)
+            for i, o in enumerate(outs):
+                o[0, 0] = (acc_ref[i] + acc_ref[8 + i]) if compensated \
+                    else acc_ref[i]
 
     return kernel
 
 
 def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
                        with_matvec: bool, n: int = None, start=0,
-                       edges: Array = None, br: int = None):
+                       edges: Array = None, br: int = None,
+                       accurate: bool = False):
     """Fused tail over (a shard of) x/d/g/history.  n/start/edges/br as in
     _run_vg; ``edges`` here is [prev_x, prev_d, next_x, next_d] — the
     neighbouring shards' boundary elements of x and d."""
@@ -787,12 +826,13 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
         out_shape += [jax.ShapeDtypeStruct((m, LANES), f32)] * 2
 
     outs = pl.pallas_call(
-        _make_tail_kernel(body, needs_halo, with_matvec, m, hdtype, br),
+        _make_tail_kernel(body, needs_halo, with_matvec, m, hdtype, br,
+                          compensated=accurate),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.SMEM((8,), f32)],
+        scratch_shapes=[pltpu.SMEM((15 if accurate else 8,), f32)],
         interpret=_interpret(),
     )(*args)
 
@@ -808,19 +848,25 @@ def _fused_tail_pallas(problem: str, x, d, alpha, g, s_hist, y_hist,
 
 
 def fused_tail_jnp(vg_fn, x, d, alpha, g, s_hist, y_hist,
-                   with_matvec: bool):
-    """Identical-semantics fallback built from the plain ops."""
+                   with_matvec: bool, accurate: bool = False):
+    """Identical-semantics fallback built from the plain ops.  ``accurate``
+    uses Neumaier-compensated reductions for the seven scalars, matching the
+    compensated Pallas kernel's contract."""
     hdtype = s_hist.dtype
     s = alpha * d
     x_new = x + s
     f_new, g_new = vg_fn(x_new)
     y = g_new - g
-    sy = jnp.vdot(s, y)
-    yy = jnp.vdot(y, y)
-    gg = jnp.vdot(g_new, g_new)
-    dgn = jnp.vdot(d, g_new)
-    ggn = jnp.vdot(g, g_new)
-    ygn = jnp.vdot(y, g_new)
+    if accurate:
+        from ..utils.accurate import compensated_dot as _dot
+    else:
+        _dot = jnp.vdot
+    sy = _dot(s, y)
+    yy = _dot(y, y)
+    gg = _dot(g_new, g_new)
+    dgn = _dot(d, g_new)
+    ggn = _dot(g, g_new)
+    ygn = _dot(y, g_new)
     if with_matvec:
         s3, y3 = _hist3(s_hist), _hist3(y_hist)
         yv3 = y.reshape(s3.shape[1:])
@@ -1086,7 +1132,7 @@ def make_multi_phi_dphi(problem: str, vg_fallback, use_pallas: bool = True):
 
 
 def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,
-                    use_pallas: bool = True):
+                    use_pallas: bool = True, accurate_dots: bool = False):
     """Build the fused post-line-search tail for a suite problem.
 
     Returns ``tail(x, d, alpha, g, s_hist, y_hist) -> (x_new, f_new, g_new,
@@ -1095,6 +1141,12 @@ def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,
     *pre-update* history (the slot entries are patched from exact scalars by
     the solver).  Dispatches to the Pallas kernel when eligible, else to the
     jnp composition.
+
+    accurate_dots: Neumaier-compensate the scalar accumulation (in-kernel
+    cross-block compensation on the Pallas path, compensated_dot on the jnp
+    path) — pass True when cfg.accurate_dots is set; the solver checks the
+    returned callable's ``accurate_dots`` attribute to reject a mismatched
+    pairing rather than silently dropping the compensation.
     """
     def tail(x, d, alpha, g, s_hist, y_hist):
         eligible = (use_pallas and problem in TAIL_BODIES
@@ -1102,8 +1154,11 @@ def make_fused_tail(problem: str, vg_fallback, with_matvec: bool = True,
                     and s_hist.dtype in (jnp.float32, jnp.bfloat16))
         if eligible:
             return _fused_tail_pallas(problem, x, d, alpha, g,
-                                      s_hist, y_hist, with_matvec)
+                                      s_hist, y_hist, with_matvec,
+                                      accurate=accurate_dots)
         return fused_tail_jnp(vg_fallback, x, d, alpha, g,
-                              s_hist, y_hist, with_matvec)
+                              s_hist, y_hist, with_matvec,
+                              accurate=accurate_dots)
 
+    tail.accurate_dots = accurate_dots
     return tail

