@@ -15,6 +15,14 @@ reference seed 42 (+ iteration counts over 3 seeds), direct evaluation.
 The speculative Wolfe twin (fused K-trial (phi, phi') kernel) is the
 "parallelized line search" of claim (b).
 
+Start box: x0 ~ U(-10, 10), NOT the published U(-1000, 1000) — from the
+far box the interpolating searches' first trial sends f through values
+beyond f32's exponent range and they fail honestly at iteration 1 (the
+same documented behavior as the committed protocol grid's f32 cells and
+the emulated-f64 grid); profiles from the far box would compare two
+1-iteration flatlines.  Within the scaled box every strategy iterates and
+the figure's qualitative comparison is meaningful.
+
 Writes convergence_profiles.json at the repo root.
 """
 import json
@@ -86,7 +94,7 @@ def run_one(strategy: str, seed: int, traced: bool):
             solve_from_state(cfg, p.f, vg, st, None, fused_tail, None,
                              phi_dphi_batch), None)
 
-    x0 = jnp.asarray(_x0_np(D, seed), jnp.float32)
+    x0 = jnp.asarray(_x0_np(D, seed, -10.0, 10.0), jnp.float32)
     t0 = time.perf_counter()
     out = run(x0)
     float(out.f)
@@ -131,9 +139,9 @@ def main():
             "trace_g_norm": [float(g_arr[i]) for i in idx],
             # iterations to reach f thresholds (the Fig.-2 reading)
             "iters_to_f": {
-                str(th): (int(np.argmax(f_arr <= th))
-                          if (f_arr <= th).any() else None)
-                for th in (1e6, 1e4, 1e2, 1e1)
+                ("%.0e" % th): (int(np.argmax(f_arr <= th))
+                                if (f_arr <= th).any() else None)
+                for th in (1e4, 1e2, 1e1, 1e0)
             },
             "untraced_mean_wall_s": round(float(np.mean(walls)), 3),
             "untraced_iterations": iters,
@@ -182,7 +190,8 @@ def main():
     report = {
         "protocol": {
             "problem": "rosenbrock", "d": D, "window": WINDOW,
-            "x0": "U(-1000, 1000), reference seeds",
+            "x0": "U(-10, 10) scaled box (see module docstring), "
+                  "reference seeds",
             "config": "parallel-reference tolerances (tol=1e-1, C2=0.7, "
                       "pair skip), rescue disabled, f32, direct eval, "
                       "fast stack (compact_incremental + Pallas)",

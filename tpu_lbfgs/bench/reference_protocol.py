@@ -99,8 +99,13 @@ def run_cpu_cell(problem: str, d: int, strategy: str,
     # the budget (an unconverged far-start Rosenbrock at d=2^20 costs ~27 min
     # per seed on this 2-vCPU-class host).
     probe_iters = 200
+    # x0 generation OUTSIDE the timed region: reference_x0 draws through
+    # jax on the default backend — on this host that is the axon TPU, whose
+    # first-dispatch cost (~10 s tunnel compile) inflated probe_wall ~80x
+    # and budget-skipped cells whose real cost was seconds.
+    x0_probe = _x0_np(d, seeds[0], *x0_range)
     t0 = time.perf_counter()
-    probe = native_lbfgs(problem, _x0_np(d, seeds[0], *x0_range),
+    probe = native_lbfgs(problem, x0_probe,
                          cfg.replace(max_iters=probe_iters))
     probe_wall = time.perf_counter() - t0
     if probe["status"] != "converged":
