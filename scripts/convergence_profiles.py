@@ -161,7 +161,17 @@ def main():
     armijo = [by_key["backtracking"], by_key["armijo_interpolation"]]
     wolfe = [by_key["backtracking_wolfe"], by_key["wolfe_interpolation"]]
 
-    def its(p, th="1e+01"):
+    # Claim (a) is evaluated at the TIGHTEST threshold every strategy
+    # reached (at this d nobody reaches f<=10 in 5000 iterations; comparing
+    # unreached thresholds would make the claim vacuously true).
+    core4 = armijo + wolfe
+    common_th = None
+    for th in ("1e+00", "1e+01", "1e+02", "1e+04"):
+        if all(p["iters_to_f"].get(th) is not None for p in core4):
+            common_th = th
+            break
+
+    def its(p, th):
         v = p["iters_to_f"].get(th)
         return v if v is not None else WINDOW + 1
 
@@ -169,13 +179,34 @@ def main():
         "statement": "Armijo-family reaches satisfactory f in fewer "
                      "iterations than Wolfe over the 5000-iteration window "
                      "(cuda_lbfgs.pdf Fig. 2-3)",
-        "iters_to_f_le_10": {p["strategy"]: p["iters_to_f"].get("1e+01")
-                             for p in profiles},
-        "holds": bool(min(its(p) for p in armijo)
-                      <= min(its(p) for p in wolfe)),
+        "evaluated_at_threshold": common_th,
+        "iters_to_threshold": {p["strategy"]:
+                               p["iters_to_f"].get(common_th)
+                               for p in profiles} if common_th else None,
+        "final_f_at_window": {p["strategy"]: p["final_f_traced"]
+                              for p in profiles},
+        "holds": (bool(min(its(p, common_th) for p in armijo)
+                       <= min(its(p, common_th) for p in wolfe))
+                  if common_th else
+                  bool(min(p["final_f_traced"] for p in armijo)
+                       <= min(p["final_f_traced"] for p in wolfe))),
     }
     seq_w = by_key["wolfe_interpolation"]
     spec_w = by_key["wolfe_interpolation_speculative"]
+    trials_per_iter = seq_w["n_fev_traced"] / max(
+        seq_w["iterations_traced"], 1) - 1.0
+    from tpu_lbfgs.linesearch.strategies import (
+        SPECULATIVE_TRIALS_THRESHOLD,
+        resolve_speculative_auto,
+    )
+    from types import SimpleNamespace
+
+    from tpu_lbfgs.config import LBFGSConfig as _Cfg
+
+    auto_pick = resolve_speculative_auto(
+        _Cfg(line_search="wolfe_interpolation"),
+        SimpleNamespace(iterations=seq_w["iterations_traced"],
+                        n_fev=seq_w["n_fev_traced"])).line_search
     claim_b = {
         "statement": "parallel line-search evaluation narrows Wolfe's "
                      "wall-clock cost (paper §IV-C: inlined-GPU Wolfe 1.79x "
@@ -185,6 +216,19 @@ def main():
         "speculative_ms_per_iter": spec_w["ms_per_iteration"],
         "speedup": round(seq_w["ms_per_iteration"]
                          / spec_w["ms_per_iteration"], 3),
+        "observed_trials_per_iter": round(trials_per_iter, 2),
+        "reading": ("the paper's claim holds only in many-trials regimes "
+                    "(measured boundary in bench_results.json "
+                    "speculative_wolfe_cells: +6.9% at ~12 trials/iter, "
+                    "loses at 1-2); in THIS profile's regime the ladder "
+                    "evaluates candidates the sequential search never "
+                    "visits and loses — which the executable rule "
+                    "(linesearch.resolve_speculative_auto, threshold "
+                    f"{SPECULATIVE_TRIALS_THRESHOLD}) decides correctly"),
+        "auto_rule_selects": auto_pick,
+        "auto_rule_correct": bool(
+            (auto_pick == "wolfe_interpolation")
+            == (seq_w["ms_per_iteration"] <= spec_w["ms_per_iteration"])),
     }
 
     report = {

@@ -217,3 +217,40 @@ def test_backtracking_wolfe_speculative_non_pow2_shrink_delegates():
     spec = backtracking_wolfe_speculative(cfg, phi, phi_dphi, f_x, gdd)
     assert float(spec.alpha) == float(seq.alpha)
     assert int(spec.n_fev) == int(seq.n_fev)     # delegated, not speculated
+
+
+def test_resolve_speculative_auto_rule():
+    """The measured speculative-selection guidance as an executable rule
+    (same pattern as history_dtype='auto'): switch to the twin at high
+    observed trials/iteration, keep the sequential search in well-scaled
+    regimes, touch nothing for non-Wolfe searches."""
+    from types import SimpleNamespace
+
+    from tpu_lbfgs import LBFGSConfig
+    from tpu_lbfgs.linesearch.strategies import (
+        SPECULATIVE_TRIALS_THRESHOLD,
+        resolve_speculative_auto,
+    )
+
+    def probe(iters, trials_per_iter):
+        return SimpleNamespace(iterations=iters,
+                               n_fev=int(iters * (1 + trials_per_iter)))
+
+    cfg = LBFGSConfig(line_search="wolfe_interpolation")
+    hard = resolve_speculative_auto(cfg, probe(50, 12.0))
+    assert hard.line_search == "wolfe_interpolation_speculative"
+    easy = resolve_speculative_auto(cfg, probe(50, 1.5))
+    assert easy.line_search == "wolfe_interpolation"
+    edge = resolve_speculative_auto(
+        cfg, probe(50, SPECULATIVE_TRIALS_THRESHOLD))
+    assert edge.line_search == "wolfe_interpolation_speculative"
+    bw = LBFGSConfig(line_search="backtracking_wolfe")
+    assert resolve_speculative_auto(bw, probe(50, 20.0)).line_search \
+        == "backtracking_wolfe_speculative"
+    # non-Wolfe strategies unchanged even at extreme trial counts
+    bt = LBFGSConfig(line_search="backtracking")
+    assert resolve_speculative_auto(bt, probe(50, 20.0)).line_search \
+        == "backtracking"
+    # the resolved twin is accepted by the solver's registry
+    from tpu_lbfgs.linesearch.strategies import get_line_search
+    get_line_search(hard.line_search)

@@ -722,3 +722,43 @@ _STRATEGIES = {
 
 def get_line_search(name: str):
     return _STRATEGIES[name]
+
+
+# --- measured speculative-selection rule (round-4/5) ----------------------------
+# The speculative Wolfe twins win only when the search performs many trials
+# per iteration (the whole candidate ladder then shares one fused (x, d)
+# stream); in well-scaled regimes (~1-2 trials/iter) the sequential search
+# wins because the ladder evaluates candidates the sequential search never
+# visits.  Measured boundary (bench_results.json speculative_wolfe_cells:
+# sequential wins at ~1.1-2 trials/iter; speculative +6.9% at the ~12
+# trials/iter hard-scaling cell):
+SPECULATIVE_TRIALS_THRESHOLD = 8.0
+SPECULATIVE_TWINS = {
+    "wolfe_interpolation": "wolfe_interpolation_speculative",
+    "backtracking_wolfe": "backtracking_wolfe_speculative",
+}
+
+
+def resolve_speculative_auto(cfg, probe_result):
+    """Make the measured speculative-Wolfe guidance EXECUTABLE: given a
+    completed probe solve (a short run with the sequential search — e.g.
+    ``cfg.replace(max_iters=50)``), return ``cfg`` with the line search
+    switched to its speculative twin exactly when the probe's observed
+    line-search trials/iteration crosses SPECULATIVE_TRIALS_THRESHOLD
+    (same pattern as history_dtype="auto": a static pre-compile decision
+    keyed on a measured quantity, since the program cannot switch strategy
+    mid-jit).
+
+    The trials/iteration estimate is ``n_fev / iterations - 1`` (iterate
+    charges one post-search evaluation per iteration on top of the
+    search's own trials).  Only the Wolfe searches have a regime where the
+    twin loses; cfgs with other strategies are returned unchanged.
+    """
+    twin = SPECULATIVE_TWINS.get(cfg.line_search)
+    if twin is None:
+        return cfg
+    iters = max(int(probe_result.iterations), 1)
+    trials_per_iter = int(probe_result.n_fev) / iters - 1.0
+    if trials_per_iter >= SPECULATIVE_TRIALS_THRESHOLD:
+        return cfg.replace(line_search=twin)
+    return cfg
