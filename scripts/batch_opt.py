@@ -336,9 +336,70 @@ def micro_streams():
     return run, (arr0,)
 
 
+def micro_onehot_chain_T():
+    """The same small-matrix chain with B as the INNERMOST (lane) axis:
+    (m, m, B) / (m, B) layouts instead of vmap's (B, m, m).  Tests the
+    layout hypothesis for the batch cell's residual: a (B, 10, 10) array
+    tiles HBM/VMEM as (B, 16, 128) — 12.8x padding waste and idle lanes —
+    while (m, m, B) puts 128 instances per vector register."""
+    rng = np.random.default_rng(5)
+    SYp = jnp.asarray(rng.uniform(0.5, 1.5, (M, M, B)), jnp.float32)
+    Sgp = jnp.asarray(rng.uniform(-1, 1, (M, B)), jnp.float32)
+    Ygp = jnp.asarray(rng.uniform(-1, 1, (M, B)), jnp.float32)
+    npairs0 = jnp.asarray(rng.integers(1, 100, (B,)), jnp.int32)
+
+    def chain(npairs):
+        hist_len = jnp.minimum(npairs, M)                      # (B,)
+        j = jnp.arange(M, dtype=jnp.int32)[:, None]            # (M, 1)
+        slots = (npairs[None, :] - hist_len[None, :] + j) % M  # (M, B)
+        valid = j < hist_len[None, :]                          # (M, B)
+        P = (slots[:, None, :]
+             == jnp.arange(M, dtype=jnp.int32)[None, :, None]
+             ).astype(jnp.float32)                             # (L, p, B)
+        # SY_log[l, q, B] = sum_p P[l,p,B] * (sum_r SYp[p,r,B] * P[q,r,B])
+        t1 = jnp.einsum("lpb,prb->lrb", P, SYp)
+        SY = jnp.einsum("lrb,qrb->lqb", t1, P)
+        p1 = jnp.where(valid, jnp.einsum("lpb,pb->lb", P, Sgp), 0.0)
+        p2 = jnp.where(valid, jnp.einsum("lpb,pb->lb", P, Ygp), 0.0)
+        vmask2 = valid[:, None, :] & valid[None, :, :]
+        eyeb = jnp.eye(M, dtype=jnp.float32)[:, :, None]
+        triu = jnp.triu(jnp.ones((M, M), jnp.float32))[:, :, None]
+        Rm = jnp.where(vmask2, SY * triu, 0.0) \
+            + jnp.where(valid, 0.0, 1.0)[:, None, :] * eyeb
+        # unrolled substitution, each step a (B,)-vector op
+        xs = [None] * M
+        for i in range(M - 1, -1, -1):
+            acc = p1[i]
+            for jj in range(i + 1, M):
+                acc = acc - Rm[i, jj] * xs[jj]
+            xs[i] = acc / Rm[i, i]
+        u = jnp.stack(xs)                                       # (M, B)
+        t = u * 1.1 - 0.9 * p2
+        ys = [None] * M
+        for i in range(M):
+            acc = t[i]
+            for jj in range(i):
+                acc = acc - Rm[jj, i] * ys[jj]
+            ys[i] = acc / Rm[i, i]
+        v = jnp.stack(ys)
+        v_phys = jnp.einsum("lpb,lb->pb", P, jnp.where(valid, v, 0.0))
+        return v_phys
+
+    @jax.jit
+    def run(npairs):
+        def body(_, c):
+            npairs, acc = c
+            return npairs + 1, acc + chain(npairs)[0]
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (npairs, jnp.zeros((B,), jnp.float32)))[1]
+
+    return run, (npairs0,)
+
+
 MICROS = {
     "ringwrite_drop": micro_ringwrite_drop,
     "onehot_chain": micro_onehot_chain,
+    "onehot_chain_T": micro_onehot_chain_T,
     "tri": partial(micro_tri, False),
     "tri_unroll": partial(micro_tri, True),
     "perm": partial(micro_perm, False),

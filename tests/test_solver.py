@@ -175,11 +175,16 @@ def test_history_dtype_auto_rule():
     # resident: 2*10*4096*4 B = 320 KB << limit -> keeps f32
     st = init_state(vg, jnp.zeros(4096, jnp.float32), m, "auto")
     assert st.s_hist.dtype == jnp.float32
-    # streaming: d chosen so 2*m*d*4 exceeds the residency budget -> bf16
-    d_big = int(VMEM_RESIDENT_BYTES // (2 * m * 4)) + 128
-    d_big = ((d_big + 127) // 128) * 128
+    # streaming: d chosen so 2*m*d*4 exceeds the residency budget -> bf16.
+    # Rounded to a 2048 multiple (R % 16 == 0): bf16 additionally requires
+    # clean (16, 128) tiling (measured r5 rule; resolve_history_dtype).
+    d_big = int(VMEM_RESIDENT_BYTES // (2 * m * 4)) + 2048
+    d_big = ((d_big + 2047) // 2048) * 2048
     st = init_state(vg, jnp.zeros(d_big, jnp.float32), m, "auto")
     assert st.s_hist.dtype == jnp.bfloat16
+    # streaming but R % 16 != 0 (d = 2048k + 128): tiling waste -> f32
+    st = init_state(vg, jnp.zeros(d_big + 128, jnp.float32), m, "auto")
+    assert st.s_hist.dtype == jnp.float32
     # f64 input: full-precision history regardless of size
     st = init_state(vg, jnp.zeros(d_big, jnp.float64), m, "auto")
     assert st.s_hist.dtype == st.x.dtype

@@ -185,66 +185,27 @@ class DirAux(NamedTuple):
 
 def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
                   YY_p: Array, Sg_p: Array, Yg_p: Array):
-    """Shared small-matrix algebra: physical-order products -> (d, DirAux)."""
+    """Shared small-matrix algebra: physical-order products -> (d, DirAux).
+
+    The whole small-matrix head (logical-order reorder via one-hot
+    contractions, masked R build, the two triangular solves, scatter-back,
+    gamma, phi'(0)) lives in kernels.chain: unbatched calls trace the exact
+    jnp formulation documented there (one-hot perms, not gathers —
+    batch_opt_results.json; library solves, not unrolled substitution —
+    the measured in-program winner), and under ``vmap`` the custom_vmap
+    rule fuses the ~50-op chain into ONE Pallas kernel over lane blocks
+    (the batch cell's residual bottleneck was op granularity, not bytes).
+    """
+    from ..kernels.chain import make_compact_chain
+
     m = state.s_hist.shape[0]
     g = state.g
     dtype = g.dtype
-    slots, valid = _ring_logical_slots(state.n_pairs, m)
 
-    # --- permute the small quantities into logical (chronological) order -----
-    # One-hot contractions, NOT index gathers (see _perm_onehot: the gather
-    # lowering is the measured batch-cell bottleneck).
-    if _ONEHOT:
-        P = _perm_onehot(slots, m, dtype)
-        SY = P @ SY_p @ P.T
-        YY = P @ YY_p @ P.T
-    else:
-        SY = SY_p[slots][:, slots]
-        YY = YY_p[slots][:, slots]
-    if cfg.pair_skip_threshold is not None:
-        # GPU-reference semantics (L-BFGS.cu:222-223) extended to the compact
-        # formulation: individually mask low-curvature pairs.  Without this a
-        # pair with sy ~ 1e-20 (accepted by the CPU rule sy > 0) puts a
-        # near-zero pivot on R's diagonal and the triangular solve emits an
-        # astronomically large — but finite — direction.
-        valid = valid & (jnp.diagonal(SY) > cfg.pair_skip_threshold)
-    if _ONEHOT:
-        p1 = jnp.where(valid, P @ Sg_p, 0.0)
-        p2 = jnp.where(valid, P @ Yg_p, 0.0)
-    else:
-        p1 = jnp.where(valid, Sg_p[slots], 0.0)
-        p2 = jnp.where(valid, Yg_p[slots], 0.0)
-
-    vmask2 = valid[:, None] & valid[None, :]
-    d_diag = jnp.where(valid, jnp.diagonal(SY), 1.0)       # s_i . y_i
-    # R = upper-triangular part of S'Y (including diagonal); identity on
-    # invalid rows/cols keeps the solves well-posed and zeroes their output.
-    eye = jnp.eye(m, dtype=dtype)
-    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.where(valid, 0.0, 1.0) * eye
-    YYm = jnp.where(vmask2, YY, 0.0)
-
-    gamma = _gamma(state, m)
-
-    # Library triangular solves on purpose: an unrolled back-substitution
-    # (m static) wins in ISOLATION (0.12 vs 0.21 ms/iter batched) but LOSES
-    # ~1.2 ms/iter inside the full batched program — the m-long scalar
-    # dependency chain serializes against the surrounding ops, while XLA
-    # schedules the library solve's blocked form concurrently
-    # (batch_opt_results.json tri cells vs the all_new/old_tri e2e combos).
-    solve = jax.scipy.linalg.solve_triangular
-    u = solve(R, p1, lower=False)                           # R^{-1} S'g
-    t = d_diag * u + gamma * (YYm @ u) - gamma * p2         # (D + gamma Y'Y) u - gamma Y'g
-    v = solve(R.T, t, lower=True)                           # R^{-T} t
-
-    # Scatter coefficients back to physical slot order via P.T (invalid
-    # entries are 0; P rows of invalid logical indices still hit a slot, so
-    # mask BEFORE the contraction).
-    if _ONEHOT:
-        v_phys = P.T @ jnp.where(valid, v, 0.0)
-        u_phys = P.T @ jnp.where(valid, u, 0.0)
-    else:
-        v_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, v, 0.0))
-        u_phys = jnp.zeros((m,), dtype).at[slots].set(jnp.where(valid, u, 0.0))
+    chain = make_compact_chain(m, cfg.pair_skip_threshold)
+    v_phys, u_phys, gamma, g_dot_d, fb_pre = chain(
+        SY_p, YY_p, Sg_p, Yg_p, state.sy_hist, state.yy_hist,
+        state.n_pairs, state.g_norm)
 
     # --- second pass over the history: r = gamma*g + S'v - gamma * Y'u -------
     # Measured on v5e (d=2^20, m=10): XLA's fused matmul beats the Pallas
@@ -254,18 +215,11 @@ def _compact_core(cfg: LBFGSConfig, state: LBFGSState, SY_p: Array,
     r_vec = combine_direction(g, state.s_hist, state.y_hist, v_phys, u_phys,
                               gamma, use_pallas=False)
 
-    bad_gamma = (gamma <= 0) | ~jnp.isfinite(gamma)
-    bad_rho = jnp.any(valid & ~jnp.isfinite(
-        1.0 / jnp.where(valid, jnp.diagonal(SY), 1.0)))
-    small_ok = jnp.all(jnp.isfinite(v_phys)) & jnp.all(jnp.isfinite(u_phys))
-    fallback = (bad_rho | bad_gamma | (state.hist_len == 0)
-                | ~small_ok | ~jnp.all(jnp.isfinite(r_vec)))
+    fallback = fb_pre | ~jnp.all(jnp.isfinite(r_vec))
 
     # phi'(0) from the small quantities only (see DirAux docstring); the
     # fallback coefficients (1, 0, 0) make the same formula yield -||g||^2.
     gg = state.g_norm * state.g_norm
-    g_dot_d = -(gamma * gg + jnp.vdot(v, p1) - gamma * jnp.vdot(u, p2))
-
     one = jnp.asarray(1.0, dtype)
     zero_m = jnp.zeros((m,), dtype)
     aux = DirAux(jnp.where(fallback, one, gamma),
