@@ -46,7 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--damping", type=float, default=None,
                     help="Powell damping threshold (e.g. 0.2): blend "
                          "low-curvature pairs instead of rejecting them "
-                         "(extension; jnp tail only — not with --pallas)")
+                         "(extension; composes with every stack incl. "
+                         "--pallas and --shard)")
+    ap.add_argument("--auto-speculative", action="store_true",
+                    help="for the Wolfe searches: run a short probe solve, "
+                         "then switch to the speculative (fused K-trial) "
+                         "twin exactly when the observed line-search "
+                         "trials/iteration crosses the measured boundary "
+                         "(linesearch.resolve_speculative_auto)")
     ap.add_argument("--history-dtype", default=None,
                     choices=[None, "bfloat16", "float32", "auto"],
                     help="down-cast (m,d) history storage (halves direction "
@@ -141,6 +148,32 @@ def main(argv=None) -> int:
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
     p = get_problem(args.problem)
+
+    if args.auto_speculative and args.backend == "jax":
+        from .linesearch.strategies import (
+            SPECULATIVE_TWINS,
+            resolve_speculative_auto,
+        )
+
+        if cfg.line_search in SPECULATIVE_TWINS:
+            # Short sequential probe on the first seed's start; the measured
+            # trials/iteration decides the twin BEFORE the main compile
+            # (strategies.resolve_speculative_auto docstring).
+            rng0 = np.random.default_rng(args.seeds[0])
+            x0p = jnp.asarray(rng0.uniform(-args.x0_range, args.x0_range,
+                                           args.dim), dtype)
+            probe_cfg = cfg.replace(max_iters=min(50, cfg.max_iters),
+                                    record_trace=False)
+            probe = minimize(p.f, x0p, probe_cfg, grad=p.grad,
+                             dir_poly=p.dir_poly if args.poly_ls else None)
+            cfg = resolve_speculative_auto(cfg, probe)
+            print(f"# auto-speculative probe: "
+                  f"{int(probe.n_fev) / max(int(probe.iterations), 1) - 1:.1f}"
+                  f" trials/iter -> line_search={cfg.line_search}",
+                  file=sys.stderr)
+        else:
+            print(f"# auto-speculative: no speculative twin for "
+                  f"{cfg.line_search!r}; ignoring", file=sys.stderr)
 
     # Fast-path builders hoisted out of the seed loop: _compiled_run caches
     # on callable IDENTITY, so per-seed fresh closures would force a full
