@@ -58,7 +58,9 @@ def config_key(cfg) -> str:
 # degraded-tunnel retry (recorded as expected_wall_s: null) rather than
 # comparing against the wrong constant.
 EXPECTED_WALLS_S = {
-    (1 << 20, "backtracking/compact_incremental/poly-ls/pallas/m=10"): 0.13,
+    # r5 provenance: headline_ab_results.json + the r5 validation run
+    # (repeat walls 0.111-0.113 s); earlier rounds measured 0.122-0.129.
+    (1 << 20, "backtracking/compact_incremental/poly-ls/pallas/m=10"): 0.112,
 }
 # A best-of-repeats 3x slower than expected triggers a cool-down + retry.
 # Generous on purpose: genuine regressions of < 3x are reported as-is, not
