@@ -1,3 +1,4 @@
+from .chain import chain_jnp, make_compact_chain
 from .pallas_ops import (
     FUSED_VG,
     TAIL_BODIES,
